@@ -1,0 +1,371 @@
+"""TPU-native enhanced-suffix-array construction.
+
+The reference builds its ESA with a three-stage comparison sort
+(counting sort on prefixes + multikey quicksort + prefix-doubling for
+deep buckets; src/Mkvtree/ppsort.c, bese.c, remainsort.c).  That design
+is pointer-chasing and branch-heavy — the opposite of what XLA wants.
+
+Here the *entire* sort is prefix doubling (the reference's own
+``-maxdepth`` completion algorithm, remainsort.c:39-427, generalized to
+depth 0): O(log n) rounds of a global key sort with
+``jax.lax.sort`` — large, static-shaped, batched work that XLA maps
+onto the TPU's sort networks, and that distributes over a device mesh
+as a sharded sort (see :mod:`vstree_tpu.parallel`).
+
+Sort-order contract (must match the reference exactly, or output parity
+breaks — reference remainsort.c:73-127, bese.c:26-52):
+
+- regular codes compare by value,
+- a special char (code >= WILDCARD) is greater than any regular char,
+- two specials compare by *text position* (earlier = smaller),
+- the sentinel at position ``n`` is a special, hence the largest
+  suffix; ``suftab[n] == n`` always.
+
+These rules are encoded once in the initial integer key
+``key[i] = text[i]`` for regular, ``256 + i`` for special — after that
+plain integer prefix doubling is exact.
+
+LCP is computed for all adjacent rank pairs at once by chunked text
+comparison (vectorized gathers of W-wide windows, W doubling per round)
+instead of the sequential Kasai scan; stragglers with very deep lcps
+are finished host-side on the compacted active set.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.alphabet import Alphabet
+from ..core.chardef import UNDEFBWTCHAR, WILDCARD
+from ..core.multiseq import Multiseq
+from .esa import ESA
+
+SIZEOFBCKENTRY = 16  # two Uint words per bucket; Uint = unsigned long,
+# 8 bytes in the 64-bit reference build (virtualdef.h:104, types.h:48)
+
+
+def recommended_prefixlength(numofchars: int, totallength: int) -> int:
+    """vm_recommendedprefixlength (reference kurtz/detpfxlen.c:53-62)."""
+    value = totallength / SIZEOFBCKENTRY
+    if value <= numofchars:
+        return 1
+    return max(1, int(math.floor(math.log(value) / math.log(numofchars))))
+
+
+def maximal_prefixlength(numofchars: int, totallength: int) -> int:
+    """vm_whatisthemaximalprefixlength with prefixlenbits=0
+    (detpfxlen.c:64-89): bcktab may use up to 4n bytes."""
+    value = totallength / (SIZEOFBCKENTRY / 4)
+    if value <= numofchars:
+        return 1
+    return max(1, int(math.floor(math.log(value) / math.log(numofchars))))
+
+
+# ---------------------------------------------------------------------------
+# suffix sorting: prefix doubling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _initial_ranks(text: jax.Array, n: int):
+    """Dense initial ranks from single-character keys (with the special
+    position rule folded in)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(text >= WILDCARD, 256 + pos, text.astype(jnp.int32))
+    sk, si = lax.sort((key, pos), num_keys=1, is_stable=True)
+    newgrp = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+    )
+    dense = jnp.cumsum(newgrp)
+    rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
+    return rank, si, dense[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def _doubling_round(rank: jax.Array, k: jax.Array, n: int):
+    """One prefix-doubling round: re-sort by (rank[i], rank[i+k]) and
+    re-rank densely.  Out-of-range rank2 is ``n`` (past-the-end runs
+    into the sentinel, which orders last)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    r2 = jnp.where(pos + k < n, jnp.roll(rank, -k), jnp.int32(n))
+    # roll wraps; mask already handles wrapped entries.
+    r1s, r2s, si = lax.sort((rank, r2, pos), num_keys=2, is_stable=True)
+    newgrp = jnp.concatenate(
+        [
+            jnp.zeros(1, jnp.int32),
+            ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+        ]
+    )
+    dense = jnp.cumsum(newgrp)
+    new_rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
+    return new_rank, si, dense[-1]
+
+
+def suffix_sort(text_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort all suffixes of the encoded text.
+
+    Returns ``(suftab, stitab)`` as int32 arrays of length n+1:
+    ``suftab[r]`` = start position of the rank-r suffix (with
+    ``suftab[n] = n``, the sentinel) and ``stitab`` its inverse.
+    """
+    n = int(text_np.size)
+    if n == 0:
+        return np.array([0], np.int32), np.array([0], np.int32)
+    text = jnp.asarray(text_np)
+    rank, si, maxrank = _initial_ranks(text, n)
+    k = 1
+    while int(maxrank) < n - 1:
+        rank, si, maxrank = _doubling_round(rank, jnp.int32(k), n)
+        k *= 2
+        if k > 2 * n:  # safety: cannot happen with valid keys
+            raise RuntimeError("prefix doubling failed to converge")
+    suftab = np.empty(n + 1, np.int32)
+    suftab[:n] = np.asarray(si)
+    suftab[n] = n
+    stitab = np.empty(n + 1, np.int32)
+    stitab[suftab] = np.arange(n + 1, dtype=np.int32)
+    return suftab, stitab
+
+
+# ---------------------------------------------------------------------------
+# LCP: batched chunked comparison
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("w", "n"))
+def _lcp_round(text, a, b, lcp, active, w: int, n: int):
+    """Advance lcp for all active pairs by comparing the next ``w``
+    characters.  Character match rule: bytes equal and regular
+    (specials never match across positions, chardef semantics)."""
+    offs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ia = a[:, None] + lcp[:, None] + offs
+    ib = b[:, None] + lcp[:, None] + offs
+    va = ia < n
+    vb = ib < n
+    ca = text[jnp.minimum(ia, n - 1)]
+    cb = text[jnp.minimum(ib, n - 1)]
+    match = va & vb & (ca == cb) & (ca < WILDCARD)
+    # leading run of matches within the window
+    run = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    full = run == w
+    lcp = jnp.where(active, lcp + run, lcp)
+    active = active & full
+    return lcp, active
+
+
+def lcp_from_pairs(
+    text_np: np.ndarray, a_np: np.ndarray, b_np: np.ndarray
+) -> np.ndarray:
+    """Longest common prefix of suffix pairs (a[i], b[i]), vectorized.
+
+    Used both for the lcp table (adjacent rank pairs) and by engines
+    needing ad-hoc lcp values.
+    """
+    n = int(text_np.size)
+    m = int(a_np.size)
+    if m == 0:
+        return np.zeros(0, np.int32)
+    text = jnp.asarray(text_np)
+    a = jnp.asarray(a_np, dtype=jnp.int32)
+    b = jnp.asarray(b_np, dtype=jnp.int32)
+    lcp = jnp.zeros(m, jnp.int32)
+    active = jnp.ones(m, bool)
+    w = 32
+    # device rounds while a meaningful fraction of pairs is active
+    for _ in range(8):
+        lcp, active = _lcp_round(text, a, b, lcp, active, w, n)
+        n_active = int(jnp.sum(active))
+        if n_active == 0:
+            return np.asarray(lcp)
+        if n_active < max(1024, m // 256):
+            break
+        if w < 256:
+            w *= 2
+    # host finish for deep stragglers on the compacted set
+    lcp_h = np.array(lcp)  # writable copy
+    act = np.asarray(active)
+    t = np.asarray(text_np)
+    for idx in np.flatnonzero(act):
+        pa, pb = int(a_np[idx]) + int(lcp_h[idx]), int(b_np[idx]) + int(lcp_h[idx])
+        d = int(lcp_h[idx])
+        while pa < n and pb < n and t[pa] == t[pb] and t[pa] < WILDCARD:
+            pa += 1
+            pb += 1
+            d += 1
+        lcp_h[idx] = d
+    return lcp_h
+
+
+def lcp_table(text_np: np.ndarray, suftab: np.ndarray) -> np.ndarray:
+    """lcp[r] = lcp(suffix at rank r-1, suffix at rank r); lcp[0] = 0.
+
+    int32[n+1]; the on-disk 1-byte + exceptions encoding is applied at
+    serialization time (io.py), mirroring bese.c:533 outlcpsubtab.
+    """
+    n = int(text_np.size)
+    lcp = np.zeros(n + 1, np.int32)
+    if n >= 1:
+        lcp[1:] = lcp_from_pairs(text_np, suftab[:-1], suftab[1:])
+    return lcp
+
+
+# ---------------------------------------------------------------------------
+# derived tables
+# ---------------------------------------------------------------------------
+
+
+def bwt_table(text_np: np.ndarray, suftab: np.ndarray) -> np.ndarray:
+    """Burrows-Wheeler transform (reference encodeburrowswheeler,
+    kurtz/bwtcode.c:293-311)."""
+    if text_np.size == 0:
+        return np.full(suftab.size, UNDEFBWTCHAR, np.uint8)
+    prev = suftab.astype(np.int64) - 1
+    bwt = np.where(
+        suftab > 0, text_np[np.maximum(prev, 0)], np.uint8(UNDEFBWTCHAR)
+    ).astype(np.uint8)
+    return bwt
+
+
+def bucket_codes(
+    text_np: np.ndarray, numofchars: int, prefixlength: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-suffix bucket code and regular-prefix depth.
+
+    Mirrors the reference's rolling-code semantics (ppsort.c:83-314):
+    the code of suffix ``i`` uses digits ``text[i+j]`` for regular
+    chars; from the first special char (or the sentinel at position
+    ``n``) onward every remaining digit is ``numofchars-1``, so a
+    special-containing suffix lands in the *maximal* code sharing its
+    regular prefix.  Returns int64 codes for suffixes 0..n (inclusive
+    sentinel) and the depth of the first special (== prefixlength for
+    fully regular windows).
+    """
+    n = int(text_np.size)
+    pl = prefixlength
+    if n == 0:
+        return (
+            np.full(1, numofchars ** pl - 1, np.int64),
+            np.zeros(1, np.int64),
+        )
+    t = text_np.astype(np.int64)
+    code = np.zeros(n + 1, np.int64)
+    valid_depth = np.full(n + 1, pl, np.int64)
+    pos = np.arange(n + 1)
+    seen_special = np.zeros(n + 1, bool)
+    for j in range(pl):
+        idx = pos + j
+        inb = idx < n
+        cj = np.where(inb, t[np.minimum(idx, n - 1)], numofchars - 1)
+        sp = ~inb | (cj >= WILDCARD)
+        newly = sp & ~seen_special
+        valid_depth = np.where(newly, j, valid_depth)
+        seen_special |= sp
+        cj = np.where(seen_special, numofchars - 1, cj)
+        code = code * numofchars + cj
+    return code, valid_depth
+
+
+def bck_table(
+    text_np: np.ndarray, numofchars: int, prefixlength: int
+) -> np.ndarray:
+    """Bucket table: for each prefix code c, ``bck[2c] = left`` and
+    ``bck[2c+1] = mid``: ranks [left, mid) hold the suffixes whose full
+    pl-prefix is regular and spells c; [mid, right=left of c+1) hold
+    the special-containing suffixes assigned to c (reference makebcktab
+    mkvprocess.c:251-312 with counts from ppsort.c).  Covers all n+1
+    suffixes including the sentinel (last bucket).
+    """
+    numofcodes = numofchars ** prefixlength
+    code, valid_depth = bucket_codes(text_np, numofchars, prefixlength)
+    hist_all = np.bincount(code, minlength=numofcodes)
+    hist_full = np.bincount(
+        code[valid_depth == prefixlength], minlength=numofcodes
+    )
+    left = np.concatenate([[0], np.cumsum(hist_all)[:-1]])
+    bck = np.empty(2 * numofcodes, np.uint32)
+    bck[0::2] = left
+    bck[1::2] = left + hist_full
+    return bck
+
+
+# ---------------------------------------------------------------------------
+# skip table
+# ---------------------------------------------------------------------------
+
+
+def skip_table(lcptab: np.ndarray) -> np.ndarray:
+    """skp[i] = smallest j > i with lcp[j] < lcp[i] (next smaller
+    value), n+1 if none — reference kurtz/mkskip.c semantics, used by
+    the esahamming/esaapm scan to jump doomed subtrees.
+
+    Computed with a vectorized monotonic-stack sweep (host, NumPy).
+    """
+    n1 = lcptab.size  # n+1 entries
+    skp = np.full(n1, n1 - 1, np.int32)
+    stack: list[int] = []
+    # classic NSV stack scan; NumPy-assisted would need segmented logic,
+    # n is host-side and this is O(n) with tiny constants.
+    lcp = lcptab
+    for i in range(n1):
+        v = lcp[i]
+        while stack and lcp[stack[-1]] > v:
+            skp[stack.pop()] = i
+        stack.append(i)
+    for i in stack:
+        skp[i] = n1 - 1
+    return skp
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def build_esa(
+    multiseq: Multiseq,
+    alpha: Alphabet,
+    prefixlength: int | None = None,
+    demand: tuple[str, ...] = ("suf", "lcp", "bwt", "bck", "sti"),
+    indexname: str = "",
+) -> ESA:
+    """Build the enhanced suffix array for a Multiseq.
+
+    Equivalent of reference ``mkvtreeprocess`` (mkvprocess.c:875-1089)
+    minus file output (see io.write_index for that).
+    """
+    text = multiseq.sequence
+    n = int(text.size)
+    numofchars = alpha.num_regular
+    if prefixlength is None:
+        prefixlength = recommended_prefixlength(numofchars, max(n, 1))
+
+    suftab, stitab = suffix_sort(text)
+    esa = ESA(
+        multiseq=multiseq,
+        alpha=alpha,
+        suftab=suftab,
+        stitab=stitab if "sti" in demand else None,
+        prefixlength=prefixlength,
+        longest=int(stitab[0]) if n > 0 else 0,
+        indexname=indexname,
+    )
+    if "lcp" in demand:
+        esa.lcptab = lcp_table(text, suftab)
+        esa.maxbranchdepth = int(esa.lcptab.max()) if n > 0 else 0
+        esa.largelcpvalues = int((esa.lcptab >= 255).sum())
+    if "bwt" in demand:
+        esa.bwttab = bwt_table(text, suftab)
+    if "bck" in demand and prefixlength > 0:
+        esa.bcktab = bck_table(text, numofchars, prefixlength)
+    if "skp" in demand:
+        if esa.lcptab is None:
+            esa.lcptab = lcp_table(text, suftab)
+        esa.skptab = skip_table(esa.lcptab)
+    return esa
