@@ -277,7 +277,7 @@ def parse_fasta_into(
         cur_len += piece.size
         if store_desc:
             multiseq.descriptions.append(
-                arr[ds[i] + 1 : de[i]].tobytes()
+                arr[ds[i] + 1 : de[i]].tobytes().rstrip(b"\n")
             )
 
     multiseq.sequence = np.concatenate(pieces) if pieces else existing

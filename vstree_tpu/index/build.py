@@ -301,25 +301,23 @@ def bck_table(
 
 
 def skip_table(lcptab: np.ndarray) -> np.ndarray:
-    """skp[i] = smallest j > i with lcp[j] < lcp[i] (next smaller
-    value), n+1 if none — reference kurtz/mkskip.c semantics, used by
-    the esahamming/esaapm scan to jump doomed subtrees.
+    """skp[i] = (smallest j > i with lcp[j] < lcp[i]) - 1, i.e. the
+    last rank of the run with lcp >= lcp[i]; totallength if none —
+    reference kurtz/mkskip.c:62-83 semantics, used by the
+    esahamming/esaapm scan to jump doomed subtrees.
 
-    Computed with a vectorized monotonic-stack sweep (host, NumPy).
+    Monotonic-stack sweep (host, O(n)).
     """
-    n1 = lcptab.size  # n+1 entries
-    skp = np.full(n1, n1 - 1, np.int32)
+    n1 = lcptab.size  # n+1 entries; totallength = n1 - 1
+    skp = np.full(n1, n1 - 1, np.int64)
     stack: list[int] = []
-    # classic NSV stack scan; NumPy-assisted would need segmented logic,
-    # n is host-side and this is O(n) with tiny constants.
     lcp = lcptab
     for i in range(n1):
         v = lcp[i]
         while stack and lcp[stack[-1]] > v:
-            skp[stack.pop()] = i
+            skp[stack.pop()] = i - 1
         stack.append(i)
-    for i in stack:
-        skp[i] = n1 - 1
+    # remaining entries keep the default totallength (= n1 - 1)
     return skp
 
 
