@@ -1,0 +1,193 @@
+"""vmatch-compatible CLI.
+
+Mirrors the reference driver stack (reference src/Vmatch/vmatch.c:43
+``callvmatch`` -> parsevm.c option table -> procmatch.c dispatch).
+This module grows with the engine layer; currently implemented tasks:
+
+- ``-complete`` exact whole-query matching (+ ``-p`` palindromic)
+- filters -l (least length), -evalue, -identity, -leastscore
+- output controls -absolute, -nodist, -noevalue, -noscore,
+  -noidentity, -s (alignment display WIP)
+
+Usage: python -m vstree_tpu.cli.vmatch -complete -q q.fna idx
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.chardef import WILDCARD
+from ..core.multiseq import read_multiseq, reverse_complement_inplace
+from ..engine.complete import exact_complete_matches
+from ..engine.funnel import MatchParams, process_final
+from ..engine.match import FLAGPALINDROMIC, MatchTable
+from ..index.io import read_index
+from ..output.render import (
+    SHOWABSOLUTE,
+    SHOWNODIST,
+    SHOWNOEVALUE,
+    SHOWNOIDENTITY,
+    SHOWNOSCORE,
+    argument_header,
+    assign_query_digits,
+    assign_virtual_digits,
+    render_matches,
+)
+from ..stats.evalues import Evalues
+
+
+def parse_args(argv: list[str]) -> dict:
+    opts: dict = {
+        "index": None, "q": [], "complete": False, "online": False,
+        "l": None, "h": None, "e": None, "p": False, "d": False,
+        "absolute": False, "nodist": False, "noevalue": False,
+        "noscore": False, "noidentity": False, "best": None,
+        "evalue": None, "identity": None, "leastscore": None,
+        "supermax": False, "mum": False, "tandem": False, "i": False,
+        "v": False, "s": None, "sort": None, "showdesc": None,
+        "args": argv[:],
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-"):
+            opts["index"] = a
+            i += 1
+            continue
+        key = a[1:]
+        if key == "q":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-") and i < len(argv) - 1:
+                opts["q"].append(argv[i]); i += 1
+            continue
+        if key in ("complete", "online", "p", "d", "absolute", "nodist",
+                   "noevalue", "noscore", "noidentity", "supermax",
+                   "tandem", "i", "v"):
+            opts[key] = True; i += 1; continue
+        if key == "mum":
+            opts["mum"] = True
+            if i + 1 < len(argv) and argv[i + 1] == "cand":
+                opts["mumcand"] = True; i += 1
+            i += 1; continue
+        if key in ("l", "best", "seedlength"):
+            # optional numeric argument(s)
+            if i + 1 < len(argv) and _is_number(argv[i + 1]):
+                opts[key] = int(argv[i + 1]); i += 1
+            else:
+                opts[key] = 0
+            i += 1; continue
+        if key in ("h", "e", "exdrop", "hxdrop", "leastscore",
+                   "identity"):
+            i += 1
+            opts[key] = int(argv[i]); i += 1; continue
+        if key == "evalue":
+            i += 1
+            opts["evalue"] = float(argv[i]); i += 1; continue
+        if key in ("s", "sort", "showdesc", "selfun", "f"):
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
+                    and i + 1 < len(argv) - 1:
+                opts[key] = argv[i + 1]; i += 1
+            else:
+                opts[key] = ""
+            i += 1; continue
+        raise SystemExit(f"vmatch: illegal option {a}")
+    if opts["index"] is None:
+        raise SystemExit("vmatch: the last argument must be the index name")
+    return opts
+
+
+def _is_number(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
+def run(argv: list[str], out=None) -> int:
+    out = out or sys.stdout
+    opts = parse_args(argv)
+    esa = read_index(opts["index"])
+    ms = esa.multiseq
+    ev = Evalues(1.0 / esa.alpha.num_regular)
+    mp = MatchParams(
+        leastlength=opts["l"] or 0,
+        identity=opts["identity"] or 0.0,
+        leastscore=opts["leastscore"],
+        maxevalue=opts["evalue"],
+    )
+    showmode = 0
+    if opts["absolute"]:
+        showmode |= SHOWABSOLUTE
+    if opts["nodist"]:
+        showmode |= SHOWNODIST
+    if opts["noevalue"]:
+        showmode |= SHOWNOEVALUE
+    if opts["noscore"]:
+        showmode |= SHOWNOSCORE
+    if opts["noidentity"]:
+        showmode |= SHOWNOIDENTITY
+
+    print(argument_header(argv[:-1], opts["index"]), file=out)
+
+    digits = assign_virtual_digits(ms)
+
+    if not opts["q"]:
+        raise SystemExit("vmatch: only query tasks implemented so far")
+
+    query = read_multiseq(opts["q"], esa.alpha, store_original=True)
+    assign_query_digits(digits, query)
+
+    # -d/-p direction selection (parsevm.c: SHOWDIRECT is the default;
+    # -p alone disables direct unless -d is also given)
+    direct_on = opts["d"] or not opts["p"]
+
+    if opts["complete"]:
+        # reference order (runquery.c:283-321): all direct matches
+        # first (queries in input order), then all palindromic
+        if opts["l"]:
+            raise SystemExit(
+                "vmatch: option -l and option -complete exclude each other"
+            )
+        starts = np.array(
+            [query.seq_bounds(i)[0] for i in range(query.numofsequences)],
+            np.int64,
+        )
+        tables: list[MatchTable] = []
+        if direct_on:
+            pats = [
+                query.sequence[slice(*query.seq_bounds(i))]
+                for i in range(query.numofsequences)
+            ]
+            tables.append(
+                exact_complete_matches(esa, pats, query_starts=starts)
+            )
+        if opts["p"]:
+            qrc = reverse_complement_inplace(query)
+            prc = [
+                qrc.sequence[slice(*qrc.seq_bounds(i))]
+                for i in range(qrc.numofsequences)
+            ]
+            tables.append(
+                exact_complete_matches(
+                    esa, prc, flags_extra=FLAGPALINDROMIC,
+                    query_starts=starts,
+                )
+            )
+        allmt = MatchTable.concat(tables)
+        allmt = process_final(allmt, ms, ev, mp, query=query)
+        for line in render_matches(allmt, ms, digits, showmode, query):
+            print(line, file=out)
+        return 0
+
+    raise SystemExit("vmatch: task not implemented yet")
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

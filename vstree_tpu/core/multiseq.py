@@ -94,7 +94,13 @@ class Multiseq:
         """Vectorized absolute position -> (seqnum, relpos)."""
         positions = np.asarray(positions, dtype=np.int64)
         seqnums = self.pos_to_seqnum(positions)
-        starts = np.where(seqnums == 0, 0, self.markpos_padded[seqnums - 1] + 1)
+        if self.markpos.size == 0:
+            return seqnums, positions
+        starts = np.where(
+            seqnums == 0,
+            0,
+            self.markpos_padded[np.maximum(seqnums - 1, 0)] + 1,
+        )
         return seqnums, positions - starts
 
     @property

@@ -1,0 +1,208 @@
+"""Complete-match search: the whole query sequence must match.
+
+Exact variant of the reference's ``-complete`` task
+(reference src/Vmengine/exactcompl.c:64-230 ``findsufboundaries`` /
+``computeofflineexactmatches``; dispatch fcomplete.c:263).
+
+TPU-native design: instead of the reference's per-pattern pointer
+descent, ALL query patterns are located simultaneously by a batched
+binary search over the suffix array — each step gathers one text
+window per query and refines a (lo, hi) bracket; ~log2(n) synchronized
+steps for the whole batch, entirely on device (SURVEY.md §7:
+"batched binary search of all query k-mer codes into bck, then batched
+interval refinement").  The bucket table provides the starting
+brackets, exactly like the reference's ``vnode.left/right`` from
+``bcktab`` (exactcompl.c:183-192; only the fully-regular [left, mid)
+part can contain a whole-pattern match).
+
+Patterns shorter than the index prefixlength are a hard error, as in
+the reference (exactcompl.c:179-184); patterns containing wildcards
+never match (wildcards are position-unique in the sort).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.chardef import WILDCARD
+from ..index.esa import ESA
+from .match import FLAGCOMPLETEMATCH, FLAGQUERY, MatchTable
+
+# Numeric compare keys: past-end suffix char orders below any pattern
+# char; special suffix char orders above (chardef position rule — for
+# *prefix* equality testing only inequality direction matters).
+_PAST_END = -1
+_SPECIAL = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("maxplen", "n"))
+def _interval_search(
+    text: jax.Array,       # uint8[n]
+    suftab: jax.Array,     # int64/int32[n+1]
+    patterns: jax.Array,   # int32[B, maxplen], -1-padded
+    plens: jax.Array,      # int32[B]
+    lo0: jax.Array,        # int32[B] start bracket (from bck)
+    hi0: jax.Array,        # int32[B] end bracket, exclusive
+    maxplen: int,
+    n: int,
+):
+    """For each pattern, the rank interval [lo, hi) of suffixes whose
+    prefix equals the pattern.  Batched binary search."""
+
+    offs = jnp.arange(maxplen, dtype=jnp.int32)
+
+    def cmp_le(mid, pat, plen, strict):
+        """True iff suffix[suftab[mid]] <= pattern...
+        Specifically returns whether we should move the bracket:
+        computes lexicographic relation of suffix-prefix vs pattern."""
+        s = suftab[mid].astype(jnp.int32)
+        idx = s[:, None] + offs[None, :]
+        inb = idx < n
+        ch = text[jnp.minimum(idx, n - 1)].astype(jnp.int32)
+        skey = jnp.where(inb, jnp.where(ch >= WILDCARD, _SPECIAL + idx, ch), _PAST_END)
+        pkey = pat  # -1 padding means "pattern ended"
+        active = offs[None, :] < plen[:, None]
+        diff = jnp.where(active, skey - pkey, 0)
+        # first nonzero diff within the pattern
+        nz = diff != 0
+        first = jnp.argmax(nz, axis=1)
+        anynz = jnp.any(nz, axis=1)
+        d = jnp.take_along_axis(diff, first[:, None], axis=1)[:, 0]
+        rel = jnp.where(anynz, jnp.sign(d), 0)  # -1: suffix < pat
+        return rel
+
+    nsteps = max(1, int(np.ceil(np.log2(max(n + 1, 2)))) + 1)
+
+    def body(_, state):
+        lo, hi = state
+        # lower bound: first rank with suffix-prefix >= pattern
+        mid = (lo + hi) // 2
+        rel = cmp_le(mid, patterns, plens, False)
+        lo = jnp.where(rel < 0, mid + 1, lo)
+        hi = jnp.where(rel < 0, hi, mid)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, nsteps, body, (lo0, hi0))
+
+    def body2(_, state):
+        lo2, hi2 = state
+        # upper bound: first rank with suffix-prefix > pattern
+        mid = (lo2 + hi2) // 2
+        rel = cmp_le(mid, patterns, plens, True)
+        lo2 = jnp.where(rel <= 0, mid + 1, lo2)
+        hi2 = jnp.where(rel <= 0, hi2, mid)
+        return lo2, hi2
+
+    lo2, _ = lax.fori_loop(0, nsteps, body2, (lo0, hi0))
+    return lo, lo2
+
+
+def pattern_codes(
+    patterns: np.ndarray, plens: np.ndarray, numofchars: int, pl: int
+) -> np.ndarray:
+    """Prefix code of each pattern's first ``pl`` chars (qgram2code);
+    -1 if the prefix contains a wildcard/padding."""
+    B = patterns.shape[0]
+    code = np.zeros(B, np.int64)
+    ok = plens >= pl
+    for j in range(pl):
+        c = patterns[:, j]
+        ok &= (c >= 0) & (c < numofchars)
+        code = code * numofchars + np.maximum(c, 0)
+    return np.where(ok, code, -1)
+
+
+def exact_complete_matches(
+    esa: ESA,
+    query: "np.ndarray | list[np.ndarray]",
+    query_seqnums: np.ndarray | None = None,
+    flags_extra: int = 0,
+    query_starts: np.ndarray | None = None,
+) -> MatchTable:
+    """All exact whole-pattern occurrences for a batch of patterns.
+
+    ``query``: list of encoded patterns (uint8 arrays).  Returns
+    matches ordered (query, rank) to mirror the reference's emission
+    order (exactcompl.c:156-164 inside the per-query loop).
+    """
+    pats = query if isinstance(query, list) else [query]
+    B = len(pats)
+    if B == 0:
+        return MatchTable()
+    n = esa.totallength
+    pl = esa.prefixlength
+    numofchars = esa.alpha.num_regular
+    plens = np.array([p.size for p in pats], np.int32)
+    if (plens < pl).any():
+        bad = int(plens.min())
+        raise ValueError(
+            f"patternlength={bad} must be >= {pl}=prefixlen"
+        )
+    maxplen = int(plens.max())
+    patterns = np.full((B, maxplen), -1, np.int32)
+    for i, p in enumerate(pats):
+        # wildcards can never match: keep their code (>= WILDCARD) so
+        # comparisons always differ
+        patterns[i, : p.size] = p.astype(np.int32)
+
+    codes = pattern_codes(patterns, plens, numofchars, pl)
+    bck = esa.bcktab
+    lo0 = np.zeros(B, np.int32)
+    hi0 = np.zeros(B, np.int32)
+    valid = codes >= 0
+    vcodes = np.maximum(codes, 0)
+    lo0[valid] = bck[2 * vcodes[valid]].astype(np.int32)
+    hi0[valid] = bck[2 * vcodes[valid] + 1].astype(np.int32)  # mid
+
+    lo, hi = _interval_search(
+        esa.device("text"),
+        esa.device("suftab"),
+        jnp.asarray(patterns),
+        jnp.asarray(plens),
+        jnp.asarray(lo0),
+        jnp.asarray(hi0),
+        maxplen,
+        n,
+    )
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return MatchTable()
+
+    # expand intervals -> (query i, rank r) pairs, rank ascending
+    qidx = np.repeat(np.arange(B), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ranks = (np.arange(total) - starts[qidx]) + lo[qidx]
+    positions = esa.suftab[ranks].astype(np.int64)
+
+    ms = esa.multiseq
+    seq1, rel1 = ms.pos_to_pair(positions)
+    lens = plens[qidx].astype(np.int64)
+    if query_seqnums is None:
+        query_seqnums = np.arange(B, dtype=np.int64)
+    if query_starts is None:
+        query_starts = np.zeros(B, np.int64)
+    return MatchTable(
+        length1=lens,
+        position1=positions,
+        length2=lens,
+        position2=query_starts[qidx].astype(np.int64),
+        distance=np.zeros(total, np.int64),
+        flag=np.full(total, FLAGQUERY | FLAGCOMPLETEMATCH | flags_extra,
+                     np.int64),
+        seqnum1=seq1,
+        relpos1=rel1,
+        seqnum2=query_seqnums[qidx].astype(np.int64),
+        relpos2=np.zeros(total, np.int64),
+        evalue=np.zeros(total, np.float64),
+        idnumber=np.zeros(total, np.int64),
+        transnum=np.full(total, -1, np.int64),
+    )
