@@ -1,0 +1,95 @@
+"""Differential tests for self-match tasks (-supermax, -l maximal
+repeats, -tandem) against the reference binary (SURVEY.md §4 oracle
+pattern; reference engines: fsuper.c, vmatfind.c, ftandem.c)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REF_SRC = "/root/repo/.ref-build/src"
+MKVTREE = os.path.join(REF_SRC, "Mkvtree/mkvtree.x")
+VMATCH = os.path.join(REF_SRC, "Vmatch/vmatch.x")
+TESTDATA = "/root/reference/src/testdata"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(VMATCH), reason="reference binaries not built"
+)
+
+CORPORA = [
+    ("at100K1", "-dna"),
+    ("Grumbach/Wildcards.fna", "-dna"),
+    ("swiss10K", "-protein"),
+]
+
+
+@pytest.fixture(scope="module")
+def indexes(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("selfm")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    built = {}
+    for rel, alpha in CORPORA:
+        src = os.path.join(TESTDATA, rel)
+        name = os.path.basename(rel).replace(".fna", "")
+        subprocess.run(
+            [MKVTREE, "-db", src, alpha, "-pl", "-allout",
+             "-indexname", str(tmp / f"ref_{name}")],
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            [sys.executable, "-m", "vstree_tpu.cli.mkvtree", "-db", src,
+             alpha, "-pl", "-allout",
+             "-indexname", str(tmp / f"our_{name}")],
+            check=True, capture_output=True, env=env, cwd=str(tmp),
+        )
+        built[name] = tmp
+    return built
+
+
+def run_ref(args):
+    return subprocess.run(
+        [VMATCH] + args, capture_output=True, text=True
+    ).stdout
+
+
+def run_ours(args, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    return subprocess.run(
+        [sys.executable, "-m", "vstree_tpu.cli.vmatch"] + args,
+        capture_output=True, text=True, env=env, cwd=cwd,
+    ).stdout
+
+
+def body_sorted(s):
+    return sorted(l for l in s.splitlines() if not l.startswith("#"))
+
+
+@needs_ref
+@pytest.mark.parametrize("name", [n for (r, a) in CORPORA
+                                  for n in [os.path.basename(r).replace(".fna", "")]])
+@pytest.mark.parametrize("task", [
+    ["-supermax", "-l", "15"],
+    ["-l", "15"],
+    ["-tandem", "-l", "8"],
+    ["-supermax", "-l", "15", "-absolute"],
+])
+def test_selfmatch_parity(indexes, name, task):
+    tmp = indexes[name]
+    ref = run_ref(task + [str(tmp / f"ref_{name}")])
+    ours = run_ours(task + [str(tmp / f"our_{name}")], cwd=str(tmp))
+    assert body_sorted(ref) == body_sorted(ours)
+
+
+@needs_ref
+def test_supermax_emission_order(indexes):
+    """Supermax intervals complete in right-boundary order, so even the
+    unsorted emission should match the reference exactly."""
+    tmp = indexes["at100K1"]
+    ref = run_ref(["-supermax", "-l", "20", str(tmp / "ref_at100K1")])
+    ours = run_ours(["-supermax", "-l", "20", str(tmp / "our_at100K1")],
+                    cwd=str(tmp))
+    ref_b = [l for l in ref.splitlines() if not l.startswith("#")]
+    our_b = [l for l in ours.splitlines() if not l.startswith("#")]
+    assert ref_b == our_b
+    assert len(ref_b) > 0

@@ -23,6 +23,8 @@ from ..core.multiseq import read_multiseq, reverse_complement_inplace
 from ..engine.complete import exact_complete_matches
 from ..engine.funnel import MatchParams, process_final
 from ..engine.match import FLAGPALINDROMIC, MatchTable
+from ..engine.repeats import find_maximal_pairs, find_tandems
+from ..engine.supermax import find_supermax
 from ..index.io import read_index
 from ..output.render import (
     SHOWABSOLUTE,
@@ -135,7 +137,35 @@ def run(argv: list[str], out=None) -> int:
     digits = assign_virtual_digits(ms)
 
     if not opts["q"]:
-        raise SystemExit("vmatch: only query tasks implemented so far")
+        # self-match tasks
+        if opts["supermax"]:
+            if opts["l"] is None:
+                raise SystemExit(
+                    "vmatch: option -supermax requires option -l"
+                )
+            mt = find_supermax(esa, opts["l"])
+            mt = process_final(mt, ms, ev, mp)
+            for line in render_matches(mt, ms, digits, showmode):
+                print(line, file=out)
+            return 0
+        if opts["tandem"]:
+            if opts["l"] is None:
+                raise SystemExit(
+                    "vmatch: option -tandem requires option -l"
+                )
+            mt = find_tandems(esa, opts["l"])
+            mt = process_final(mt, ms, ev, mp)
+            for line in render_matches(mt, ms, digits, showmode):
+                print(line, file=out)
+            return 0
+        if opts["l"] is not None:
+            # maximal repeats (exact; -e/-h/-exdrop extension later)
+            mt = find_maximal_pairs(esa, opts["l"])
+            mt = process_final(mt, ms, ev, mp)
+            for line in render_matches(mt, ms, digits, showmode):
+                print(line, file=out)
+            return 0
+        raise SystemExit("vmatch: task not implemented yet")
 
     query = read_multiseq(opts["q"], esa.alpha, store_original=True)
     assign_query_digits(digits, query)
