@@ -23,6 +23,7 @@ from ..core.multiseq import read_multiseq, reverse_complement_inplace
 from ..engine.complete import exact_complete_matches
 from ..engine.funnel import MatchParams, process_final
 from ..engine.match import FLAGPALINDROMIC, MatchTable
+from ..engine.query import find_query_matches
 from ..engine.repeats import find_maximal_pairs, find_tandems
 from ..engine.supermax import find_supermax
 from ..index.io import read_index
@@ -204,6 +205,32 @@ def run(argv: list[str], out=None) -> int:
                 exact_complete_matches(
                     esa, prc, flags_extra=FLAGPALINDROMIC,
                     query_starts=starts,
+                )
+            )
+        allmt = MatchTable.concat(tables)
+        allmt = process_final(allmt, ms, ev, mp, query=query)
+        for line in render_matches(allmt, ms, digits, showmode, query):
+            print(line, file=out)
+        return 0
+
+    if opts["l"] is not None:
+        # substring matching: MEMs / MUM candidates / MUMs
+        # (reference runquery.c:71-353 -> fquery.c findquerymatches)
+        if opts["mum"]:
+            mode = "mumcand" if opts.get("mumcand") else "mum"
+        else:
+            mode = "mem"
+        tables = []
+        if direct_on:
+            tables.append(
+                find_query_matches(esa, query, opts["l"], mode)
+            )
+        if opts["p"]:
+            qrc = reverse_complement_inplace(query)
+            tables.append(
+                find_query_matches(
+                    esa, qrc, opts["l"], mode,
+                    flags_extra=FLAGPALINDROMIC,
                 )
             )
         allmt = MatchTable.concat(tables)

@@ -34,14 +34,15 @@ from ..core.chardef import WILDCARD
 from ..index.esa import ESA
 from .match import FLAGCOMPLETEMATCH, FLAGQUERY, MatchTable
 
-# Numeric compare keys: past-end suffix char orders below any pattern
-# char; special suffix char orders above (chardef position rule — for
-# *prefix* equality testing only inequality direction matters).
-_PAST_END = -1
+# Numeric compare key for special suffix chars and the past-end
+# sentinel: above every regular char, ordered by text position
+# (chardef position rule / Appendix A.1 of SURVEY.md).
 _SPECIAL = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("maxplen", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("maxplen", "n", "nsteps", "start_depth")
+)
 def _interval_search(
     text: jax.Array,       # uint8[n]
     suftab: jax.Array,     # int64/int32[n+1]
@@ -51,11 +52,17 @@ def _interval_search(
     hi0: jax.Array,        # int32[B] end bracket, exclusive
     maxplen: int,
     n: int,
+    nsteps: int | None = None,
+    start_depth: int = 0,
 ):
     """For each pattern, the rank interval [lo, hi) of suffixes whose
-    prefix equals the pattern.  Batched binary search."""
+    prefix equals the pattern.  Batched binary search.
 
-    offs = jnp.arange(maxplen, dtype=jnp.int32)
+    ``start_depth``: chars known equal for every suffix inside the
+    initial brackets (bucket prefix depth) — skipped in comparisons.
+    """
+
+    offs = jnp.arange(start_depth, maxplen, dtype=jnp.int32)
 
     def cmp_le(mid, pat, plen, strict):
         """True iff suffix[suftab[mid]] <= pattern...
@@ -65,8 +72,11 @@ def _interval_search(
         idx = s[:, None] + offs[None, :]
         inb = idx < n
         ch = text[jnp.minimum(idx, n - 1)].astype(jnp.int32)
-        skey = jnp.where(inb, jnp.where(ch >= WILDCARD, _SPECIAL + idx, ch), _PAST_END)
-        pkey = pat  # -1 padding means "pattern ended"
+        # past-end == the sentinel: greater than every regular symbol
+        # and ordered by position, like other specials (matches the
+        # suffix-sort order; reference: sentinel > all, Appendix A.1)
+        skey = jnp.where(inb & (ch < WILDCARD), ch, _SPECIAL + idx)
+        pkey = pat[:, start_depth:]  # -1 padding: "pattern ended"
         active = offs[None, :] < plen[:, None]
         diff = jnp.where(active, skey - pkey, 0)
         # first nonzero diff within the pattern
@@ -77,30 +87,111 @@ def _interval_search(
         rel = jnp.where(anynz, jnp.sign(d), 0)  # -1: suffix < pat
         return rel
 
-    nsteps = max(1, int(np.ceil(np.log2(max(n + 1, 2)))) + 1)
+    if nsteps is None:
+        nsteps = max(1, int(np.ceil(np.log2(max(n + 1, 2)))) + 1)
 
     def body(_, state):
         lo, hi = state
+        open_ = lo < hi
         # lower bound: first rank with suffix-prefix >= pattern
         mid = (lo + hi) // 2
         rel = cmp_le(mid, patterns, plens, False)
-        lo = jnp.where(rel < 0, mid + 1, lo)
-        hi = jnp.where(rel < 0, hi, mid)
+        lo = jnp.where(open_ & (rel < 0), mid + 1, lo)
+        hi = jnp.where(open_ & (rel >= 0), mid, hi)
         return lo, hi
 
     lo, _ = lax.fori_loop(0, nsteps, body, (lo0, hi0))
 
     def body2(_, state):
         lo2, hi2 = state
+        open_ = lo2 < hi2
         # upper bound: first rank with suffix-prefix > pattern
         mid = (lo2 + hi2) // 2
         rel = cmp_le(mid, patterns, plens, True)
-        lo2 = jnp.where(rel <= 0, mid + 1, lo2)
-        hi2 = jnp.where(rel <= 0, hi2, mid)
+        lo2 = jnp.where(open_ & (rel <= 0), mid + 1, lo2)
+        hi2 = jnp.where(open_ & (rel > 0), mid, hi2)
         return lo2, hi2
 
     lo2, _ = lax.fori_loop(0, nsteps, body2, (lo0, hi0))
     return lo, lo2
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "nsteps"))
+def _key_interval_search(
+    keys: jax.Array,     # int32[levels, R] packed rank keys
+    qlow: jax.Array,     # int32[B, levels] pattern key, 0-padded
+    qhigh: jax.Array,    # int32[B, levels] pattern key, max-padded
+    lo0: jax.Array,
+    hi0: jax.Array,
+    levels: int,
+    nsteps: int,
+):
+    """[lo, hi) of ranks whose packed keys lie in [qlow, qhigh]:
+    pure integer binary searches — one int32 gather per level per
+    probe, no text access at all."""
+
+    def ge(mid, Q, strict):
+        gt = jnp.zeros(mid.shape[0], bool)
+        eq = jnp.ones(mid.shape[0], bool)
+        for lv in range(levels):
+            k = keys[lv, mid]
+            q = Q[:, lv]
+            gt = gt | (eq & (k > q))
+            eq = eq & (k == q)
+        return gt if strict else (gt | eq)
+
+    def lower(_, st):
+        lo, hi = st
+        open_ = lo < hi
+        mid = (lo + hi) // 2
+        g = ge(mid, qlow, False)     # key >= qlow
+        lo = jnp.where(open_ & ~g, mid + 1, lo)
+        hi = jnp.where(open_ & g, mid, hi)
+        return lo, hi
+
+    def upper(_, st):
+        lo, hi = st
+        open_ = lo < hi
+        mid = (lo + hi) // 2
+        g = ge(mid, qhigh, True)     # key > qhigh
+        lo = jnp.where(open_ & ~g, mid + 1, lo)
+        hi = jnp.where(open_ & g, mid, hi)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, nsteps, lower, (lo0, hi0))
+    ub, _ = lax.fori_loop(0, nsteps, upper, (lo0, hi0))
+    return lo, ub
+
+
+def _pack_pattern_keys(
+    patterns: np.ndarray, plens: np.ndarray, depth: int, levels: int,
+    bits: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(qlow, qhigh, ok) for the key search: chars beyond the pattern
+    pad with 0 (low) / maxcode (high); ok=False for patterns with a
+    special char beyond depth (those can never match)."""
+    cpk = 30 // bits
+    W = levels * cpk
+    B = patterns.shape[0]
+    maxcode = (1 << bits) - 1
+    idx = depth + np.arange(W)[None, :]
+    ch = patterns[:, np.minimum(idx[0], patterns.shape[1] - 1)]
+    active = idx < plens[:, None]
+    regular = (ch >= 0) & (ch < WILDCARD)
+    ok = ~np.any(active & ~regular, axis=1)
+    code = np.where(active, ch + 1, 0)
+    qlow = np.zeros((B, levels), np.int32)
+    qhigh = np.zeros((B, levels), np.int32)
+    code_hi = np.where(active, ch + 1, maxcode)
+    for lv in range(levels):
+        kl = np.zeros(B, np.int64)
+        kh = np.zeros(B, np.int64)
+        for j in range(cpk):
+            kl = (kl << bits) | code[:, lv * cpk + j]
+            kh = (kh << bits) | code_hi[:, lv * cpk + j]
+        qlow[:, lv] = kl.astype(np.int32)
+        qhigh[:, lv] = kh.astype(np.int32)
+    return qlow, qhigh, ok
 
 
 def pattern_codes(
@@ -116,6 +207,83 @@ def pattern_codes(
         ok &= (c >= 0) & (c < numofchars)
         code = code * numofchars + np.maximum(c, 0)
     return np.where(ok, code, -1)
+
+
+MAX_KEY_LEVELS = 6
+
+
+def exact_interval_lookup(
+    esa: ESA, patterns: np.ndarray, plens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rank interval [lo, hi) of every whole pattern.
+
+    Fast path: deep bucket bracket + packed-key integer binary search
+    (one int32 gather per probe per level).  Falls back to the direct
+    text-comparison search for patterns longer than the key coverage.
+    """
+    import math
+
+    B, maxplen = patterns.shape
+    n = esa.totallength
+    pl = esa.prefixlength
+    numofchars = esa.alpha.num_regular
+
+    # deepest affordable bucket depth: buckets of ~1 suffix kill almost
+    # the whole binary search (and comparisons skip the bucket prefix)
+    budget = 1 << 24
+    deep = int(math.log(budget) / math.log(numofchars))
+    ppl = max(pl, min(deep, int(plens.min())))
+    if ppl > pl or esa.bcktab is None:
+        bck = esa.aux_bck(ppl)
+    else:
+        bck = esa.bcktab
+    codes = pattern_codes(patterns, plens, numofchars, ppl)
+    lo0 = np.zeros(B, np.int32)
+    hi0 = np.zeros(B, np.int32)
+    valid = codes >= 0
+    vcodes = np.maximum(codes, 0)
+    lo0[valid] = bck[2 * vcodes[valid]].astype(np.int32)
+    hi0[valid] = bck[2 * vcodes[valid] + 1].astype(np.int32)  # mid
+
+    # bucket brackets are narrow: ~log2(max bucket width) probe steps
+    # suffice (vs log2(n) from scratch); round up to limit recompiles
+    maxw = int(np.max(hi0 - lo0)) if B else 2
+    nsteps = max(2, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
+    nsteps = min(nsteps + (-nsteps) % 4,
+                 max(1, int(np.ceil(np.log2(max(n + 1, 2)))) + 1))
+
+    bits = esa.key_bits()
+    cpk = 30 // bits
+    levels = max(1, int(np.ceil((maxplen - ppl) / cpk)))
+    if levels <= MAX_KEY_LEVELS:
+        qlow, qhigh, ok = _pack_pattern_keys(
+            patterns, plens, ppl, levels, bits
+        )
+        lo0 = np.where(ok, lo0, 0).astype(np.int32)
+        hi0 = np.where(ok, hi0, 0).astype(np.int32)
+        lo, hi = _key_interval_search(
+            esa.rank_keys(ppl, levels),
+            jnp.asarray(qlow),
+            jnp.asarray(qhigh),
+            jnp.asarray(lo0),
+            jnp.asarray(hi0),
+            levels,
+            nsteps,
+        )
+    else:
+        lo, hi = _interval_search(
+            esa.device("text"),
+            esa.device("suftab"),
+            jnp.asarray(patterns),
+            jnp.asarray(plens),
+            jnp.asarray(lo0),
+            jnp.asarray(hi0),
+            maxplen,
+            n,
+            nsteps,
+            ppl,
+        )
+    return np.asarray(lo), np.asarray(hi)
 
 
 def exact_complete_matches(
@@ -135,9 +303,7 @@ def exact_complete_matches(
     B = len(pats)
     if B == 0:
         return MatchTable()
-    n = esa.totallength
     pl = esa.prefixlength
-    numofchars = esa.alpha.num_regular
     plens = np.array([p.size for p in pats], np.int32)
     if (plens < pl).any():
         bad = int(plens.min())
@@ -151,27 +317,7 @@ def exact_complete_matches(
         # comparisons always differ
         patterns[i, : p.size] = p.astype(np.int32)
 
-    codes = pattern_codes(patterns, plens, numofchars, pl)
-    bck = esa.bcktab
-    lo0 = np.zeros(B, np.int32)
-    hi0 = np.zeros(B, np.int32)
-    valid = codes >= 0
-    vcodes = np.maximum(codes, 0)
-    lo0[valid] = bck[2 * vcodes[valid]].astype(np.int32)
-    hi0[valid] = bck[2 * vcodes[valid] + 1].astype(np.int32)  # mid
-
-    lo, hi = _interval_search(
-        esa.device("text"),
-        esa.device("suftab"),
-        jnp.asarray(patterns),
-        jnp.asarray(plens),
-        jnp.asarray(lo0),
-        jnp.asarray(hi0),
-        maxplen,
-        n,
-    )
-    lo = np.asarray(lo)
-    hi = np.asarray(hi)
+    lo, hi = exact_interval_lookup(esa, patterns, plens)
     counts = np.maximum(hi - lo, 0)
     total = int(counts.sum())
     if total == 0:

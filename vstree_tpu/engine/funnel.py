@@ -21,6 +21,7 @@ from ..core.multiseq import Multiseq
 from ..stats.evalues import Evalues, match_multiplier
 from .match import (
     FLAGCOMPLETEMATCH,
+    FLAGPALINDROMIC,
     FLAGQUERY,
     FLAGSELFPALINDROMIC,
     MatchTable,
@@ -151,6 +152,16 @@ def process_final(
     matches with E-values and id numbers assigned."""
     if len(mt) == 0:
         return mt
+    # fetchpositions: palindromic query matches report coordinates in
+    # the original (non-RC) orientation (procfinal.c:152-158)
+    pal = ((mt.flag & FLAGPALINDROMIC) != 0) & ((mt.flag & FLAGQUERY) != 0)
+    if pal.any() and query is not None:
+        idx = np.flatnonzero(pal)
+        for i in idx:
+            a, b = query.seq_bounds(int(mt.seqnum2[i]))
+            seqlen = b - a
+            mt.relpos2[i] = seqlen - (mt.relpos2[i] + mt.length2[i])
+            mt.position2[i] = a + mt.relpos2[i]
     assign_evalues(mt, ev, ms, query)
     if selection is not None and selection.match is not None:
         keep = np.asarray(selection.match(mt), bool)

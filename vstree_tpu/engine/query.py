@@ -1,0 +1,355 @@
+"""Query substring matching: MEMs and MUM candidates vs an indexed DB
+(vmatch -q, reference src/Vmengine/fquery.c + src/kurtz/matchsub.c).
+
+Reference algorithm: for every query suffix, a per-suffix descent into
+the ESA finds the maximal matching prefix (findmaxprefixlen,
+kurtz/findmaxpref.gen), then scans neighbor ranks while lcp >=
+searchlength carrying a running minimum (leftrightsubmatch,
+fquery.c:139-269), emitting left-maximal (dbpos, len) pairs.
+
+TPU-native reformulation — all query suffixes processed as one batch:
+
+1. bucket brackets for every query position from a depth-d bucket
+   table (d = min(searchlength, affordable depth); suffixes containing
+   a special within depth d can never reach searchlength — same
+   exclusion as the reference's [left, mid) bucket rule),
+2. one batched binary search locates each query suffix's insertion
+   rank; its lexicographic neighbors witness the maximal match
+   (the max-lce suffix is always adjacent to the insertion point),
+3. exact match lengths by two batched LCE sweeps (ops/lce.py),
+4. the reference's left/right neighbor scans become pure array ops:
+   the scan range is the lcp>=searchlength run containing the witness
+   (precomputed run boundaries), per-rank lengths are
+   min(maxlcp, RMQ(lcp)) via the sparse-table RMQ, left-maximality is
+   an elementwise bwt/left-char comparison.
+
+Emission order reproduces the reference loop nest: query sequences in
+input order, offsets ascending; per offset witness->left then
+witness+1->right (leftrightsubmatch loop order).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.chardef import WILDCARD
+from ..core.multiseq import Multiseq
+from ..index.build import bucket_codes
+from ..index.esa import ESA
+from ..ops.lce import lce_two_texts
+from .match import FLAGQUERY, MatchTable
+from .repeats import LcpRmq, _l_runs
+
+_SPECIAL = 1 << 20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "depth", "n", "nq", "nsteps", "maxchunks"),
+)
+def _qsuffix_lower_bound(
+    text, suftab, qtext, qpos, rem, lo0, hi0,
+    W: int, depth: int, n: int, nq: int, nsteps: int, maxchunks: int,
+):
+    """First rank in [lo0, hi0) whose suffix orders >= the query suffix
+    (query window of length rem at qpos).  Chunked lexicographic
+    compare: the first ``depth`` chars are bucket-equal and skipped."""
+
+    offs = jnp.arange(W, dtype=jnp.int32)
+
+    def rel_fn(spos):
+        """sign(suffix - query) per probe, chunked compare."""
+        B = spos.shape[0]
+
+        def cond(state):
+            c, rel, done = state
+            return (c < maxchunks) & ~jnp.all(done)
+
+        def body(state):
+            c, rel, done = state
+            off = depth + c * W + offs            # [W]
+            qi = qpos[:, None] + off[None, :]
+            si = spos[:, None] + off[None, :]
+            s_in = si < n
+            q_in = off[None, :] < rem[:, None]
+            sch = text[jnp.minimum(si, n - 1)].astype(jnp.int32)
+            qch = qtext[jnp.minimum(qi, nq - 1)].astype(jnp.int32)
+            skey = jnp.where(s_in & (sch < WILDCARD), sch,
+                             _SPECIAL + si)
+            diff = jnp.where(q_in, skey - qch, 0)
+            nz = diff != 0
+            first = jnp.argmax(nz, axis=1)
+            anynz = jnp.any(nz, axis=1)
+            d = jnp.take_along_axis(diff, first[:, None], axis=1)[:, 0]
+            newrel = jnp.where(anynz, jnp.sign(d), 0)
+            exhausted = depth + (c + 1) * W >= rem  # query window done
+            rel = jnp.where(done, rel, newrel)
+            done = done | anynz | exhausted
+            return c + 1, rel, done
+
+        B0 = jnp.zeros(spos.shape[0], jnp.int32)
+        _, rel, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), B0, jnp.zeros_like(B0, bool))
+        )
+        return rel
+
+    zero = jnp.zeros_like(lo0)
+
+    def step(_, st):
+        lo, hi = st
+        open_ = lo < hi
+        mid = (lo + hi) // 2
+        rel = rel_fn(suftab[mid].astype(jnp.int32))
+        lo = jnp.where(open_ & (rel < 0), mid + 1, lo)
+        hi = jnp.where(open_ & (rel >= 0), mid, hi)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, nsteps, step, (lo0 + zero, hi0 + zero))
+    return lo
+
+
+def _query_positions(query: Multiseq, searchlength: int):
+    """Flattened (qpos, qseq, qoff, rem) for every query offset with
+    remaining length >= searchlength (matchsub.c loop bounds)."""
+    pos_l, seq_l, off_l, rem_l = [], [], [], []
+    for s in range(query.numofsequences):
+        a, b = query.seq_bounds(s)
+        ln = b - a
+        if ln < searchlength:
+            continue
+        m = ln - searchlength + 1
+        pos_l.append(np.arange(a, a + m, dtype=np.int64))
+        seq_l.append(np.full(m, s, np.int64))
+        off_l.append(np.arange(m, dtype=np.int64))
+        rem_l.append(ln - np.arange(m, dtype=np.int64))
+    if not pos_l:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    return (np.concatenate(pos_l), np.concatenate(seq_l),
+            np.concatenate(off_l), np.concatenate(rem_l))
+
+
+def find_query_matches(
+    esa: ESA,
+    query: Multiseq,
+    searchlength: int,
+    mode: str = "mem",          # "mem" | "mumcand" | "mum"
+    flags_extra: int = 0,
+) -> MatchTable:
+    """All maximal substring matches (or MUM candidates) of every
+    query sequence vs the index, length >= searchlength."""
+    n = esa.totallength
+    numofchars = esa.alpha.num_regular
+    text = esa.text
+    qtext = query.sequence
+    nq = int(qtext.size)
+    if searchlength < esa.prefixlength:
+        raise ValueError(
+            f"searchlength={searchlength} must be >= prefixlength="
+            f"{esa.prefixlength}"
+        )
+
+    qpos, qseq, qoff, rem = _query_positions(query, searchlength)
+    if qpos.size == 0:
+        return MatchTable()
+
+    # bucket depth: within searchlength so the excluded special part
+    # cannot contain matches >= searchlength (see module docstring)
+    budget = 1 << 24
+    deep = int(math.log(budget) / math.log(numofchars))
+    d = min(deep, searchlength)
+    d = max(d, esa.prefixlength)
+    bck = (esa.aux_bck(d) if d != esa.prefixlength or esa.bcktab is None
+           else esa.bcktab)
+
+    qcodes, qvalid_depth = bucket_codes(qtext, numofchars, d)
+    codes = qcodes[qpos]
+    code_ok = qvalid_depth[qpos] == d
+    lo0 = np.zeros(qpos.size, np.int32)
+    hi0 = np.zeros(qpos.size, np.int32)
+    vc = np.where(code_ok, codes, 0)
+    lo0[code_ok] = bck[2 * vc[code_ok]].astype(np.int32)
+    hi0[code_ok] = bck[2 * vc[code_ok] + 1].astype(np.int32)  # mid
+
+    keep = code_ok & (hi0 > lo0)
+    if not keep.any():
+        return MatchTable()
+    qpos_k = qpos[keep]
+    rem_k = rem[keep]
+    lo0_k = lo0[keep]
+    hi0_k = hi0[keep]
+
+    maxw = int(np.max(hi0_k - lo0_k))
+    nsteps = max(1, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
+    maxrem = int(rem_k.max())
+    W = 64
+    maxchunks = max(1, int(np.ceil((maxrem - d) / W)) + 1)
+
+    lb = np.asarray(_qsuffix_lower_bound(
+        esa.device("text"), esa.device("suftab"),
+        jnp.asarray(qtext), jnp.asarray(qpos_k, dtype=jnp.int32),
+        jnp.asarray(rem_k, dtype=jnp.int32),
+        jnp.asarray(lo0_k), jnp.asarray(hi0_k),
+        W, d, n, nq, nsteps, maxchunks,
+    ))
+
+    # witness = neighbor of the insertion point with the longer lce
+    cand0 = np.clip(lb - 1, lo0_k, hi0_k - 1)
+    cand1 = np.clip(lb, lo0_k, hi0_k - 1)
+    suf = esa.suftab
+    dev_text = esa.device("text")
+    lce0 = lce_two_texts(text, suf[cand0], qtext, qpos_k,
+                         ta_dev=dev_text)
+    lce1 = lce_two_texts(text, suf[cand1], qtext, qpos_k,
+                         ta_dev=dev_text)
+    use0 = lce0 >= lce1
+    witness = np.where(use0, cand0, cand1).astype(np.int64)
+    maxlcp = np.where(use0, lce0, lce1).astype(np.int64)
+
+    hit = maxlcp >= searchlength
+    if not hit.any():
+        return MatchTable()
+    witness = witness[hit]
+    maxlcp = maxlcp[hit]
+    qpos_h = qpos_k[hit]
+    # map back to (seq, off): reuse flat arrays
+    idx_flat = np.flatnonzero(keep)[hit]
+    qseq_h = qseq[idx_flat]
+    qoff_h = qoff[idx_flat]
+
+    lcp = esa.lcptab
+    if mode in ("mumcand", "mum"):
+        # uniqueness of the witness at depth maxlcp
+        # (leftrightmaximaluniquematch, fquery.c:297-360)
+        left_ok = lcp[witness] < maxlcp
+        n1 = lcp.size
+        right_lcp = np.where(witness + 1 < n1, lcp[np.minimum(witness + 1, n1 - 1)], 0)
+        right_ok = right_lcp < maxlcp
+        uniq = left_ok & right_ok
+        ranks = witness[uniq]
+        mlens = maxlcp[uniq]
+        qp = qpos_h[uniq]
+        qs = qseq_h[uniq]
+        qo = qoff_h[uniq]
+        order = None
+        mt = _emit(esa, query, ranks, mlens, qp, qs, qo, flags_extra)
+        if mode == "mum":
+            mt = _unique_in_query(mt, query)
+        return mt
+
+    # --- MEM emission: scan range = lcp>=L run containing witness ---
+    L = searchlength
+    run_left, run_right = _l_runs(lcp, L)
+    if run_left.size:
+        ri = np.searchsorted(run_left, witness, side="right") - 1
+        ric = np.clip(ri, 0, run_left.size - 1)
+        in_run = (ri >= 0) & (witness <= run_right[ric])
+        A = np.where(in_run, run_left[ric], witness)
+        Bnd = np.where(in_run, run_right[ric], witness)
+    else:
+        A = witness.copy()
+        Bnd = witness.copy()
+
+    counts = Bnd - A + 1
+    total = int(counts.sum())
+    g = np.repeat(np.arange(witness.size), counts)       # group id
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # emission step within group: witness..A (desc), then witness+1..B
+    step = np.arange(total) - starts[g]
+    wk = witness[g]
+    Ak = A[g]
+    nleft = wk - Ak + 1
+    is_left = step < nleft
+    ranks = np.where(is_left, wk - step, Ak + step)
+    # match length = min(maxlcp, RMQ(lcp over (rank..witness]))
+    rmq = LcpRmq(lcp)
+    lo_r = np.minimum(ranks, wk)
+    hi_r = np.maximum(ranks, wk)
+    same = lo_r == hi_r
+    # clamp to a non-empty range for the same-rank rows (their value is
+    # discarded by the where)
+    q_lo = np.minimum(lo_r + 1, lcp.size - 1)
+    q_hi = np.maximum(hi_r, q_lo)
+    d_rmq = np.where(
+        same, maxlcp[g],
+        np.minimum(maxlcp[g], rmq.query(q_lo, q_hi)),
+    ).astype(np.int64)
+
+    return _emit(esa, query, ranks, d_rmq, qpos_h[g], qseq_h[g],
+                 qoff_h[g], flags_extra)
+
+
+def _emit(esa, query, ranks, mlens, qp, qs, qo, flags_extra):
+    """Left-maximality filter + MatchTable build
+    (PROCESSSUFFIX fquery.c:53-81 + processexactquerymatch
+    procexqu.c:17-62)."""
+    if ranks.size == 0:
+        return MatchTable()
+    text = esa.text
+    qtext = query.sequence
+    sufstart = esa.suftab[ranks].astype(np.int64)
+    leftq = np.where(qo > 0, qtext[np.maximum(qp - 1, 0)], 255)
+    emit = (
+        (sufstart == 0)
+        | (leftq >= WILDCARD)
+        | (text[np.maximum(sufstart - 1, 0)] != leftq)
+    )
+    sufstart = sufstart[emit]
+    mlens = mlens[emit].astype(np.int64)
+    qs = qs[emit].astype(np.int64)
+    qo = qo[emit].astype(np.int64)
+    qp = qp[emit].astype(np.int64)
+    tot = sufstart.size
+    ms = esa.multiseq
+    seq1, rel1 = ms.pos_to_pair(sufstart)
+    return MatchTable(
+        length1=mlens,
+        position1=sufstart,
+        length2=mlens.copy(),
+        position2=qp,
+        distance=np.zeros(tot, np.int64),
+        flag=np.full(tot, FLAGQUERY | flags_extra, np.int64),
+        seqnum1=seq1,
+        relpos1=rel1,
+        seqnum2=qs,
+        relpos2=qo,
+        evalue=np.zeros(tot, np.float64),
+        idnumber=np.zeros(tot, np.int64),
+        transnum=np.full(tot, -1, np.int64),
+    )
+
+
+def _unique_in_query(mt: MatchTable, query: Multiseq) -> MatchTable:
+    """mumuniqueinquery (reference kurtz/cleanMUMcand.c:57-115):
+    candidates sorted by (dbstart asc, length desc); a running maximal
+    db-interval right end drops contained candidates; equal right ends
+    with equal dbstart drop both copies.  Survivors are emitted in the
+    sorted order (the reference's global post-pass after all query
+    sequences, fquery.c:480-489)."""
+    if len(mt) == 0:
+        return mt
+    order = np.lexsort((-mt.length1, mt.position1))
+    s = mt.select(order)
+    m = len(s)
+    keep = np.ones(m, bool)
+    dbright = 0
+    pos = s.position1
+    ln = s.length1
+    for i in range(m):
+        right = int(pos[i] + ln[i] - 1)
+        if dbright > right:
+            keep[i] = False
+        elif dbright == right:
+            keep[i] = False
+            if i > 0 and keep[i - 1] and pos[i - 1] == pos[i]:
+                keep[i - 1] = False
+        else:
+            dbright = right
+    return s.select(keep)

@@ -108,6 +108,38 @@ def _doubling_round(rank: jax.Array, k: jax.Array, n: int):
     return new_rank, si, dense[-1]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _suffix_sort_device(text: jax.Array, n: int):
+    """Full prefix-doubling sort as ONE device program (lax.while_loop
+    over doubling rounds) — no per-round host synchronisation, which
+    matters when device dispatch has latency (remote TPU)."""
+    rank0, si0, maxrank0 = _initial_ranks(text, n)
+
+    def cond(st):
+        _, _, maxrank, k = st
+        return (maxrank < n - 1) & (k < 2 * n)
+
+    def body(st):
+        rank, si, _, k = st
+        pos = jnp.arange(n, dtype=jnp.int32)
+        r2 = jnp.where(pos + k < n, jnp.roll(rank, -k), jnp.int32(n))
+        r1s, r2s, si = lax.sort((rank, r2, pos), num_keys=2,
+                                is_stable=True)
+        newgrp = jnp.concatenate([
+            jnp.zeros(1, jnp.int32),
+            ((r1s[1:] != r1s[:-1])
+             | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+        ])
+        dense = jnp.cumsum(newgrp)
+        new_rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
+        return new_rank, si, dense[-1], k * 2
+
+    _, si, _, _ = lax.while_loop(
+        cond, body, (rank0, si0, maxrank0, jnp.int32(1))
+    )
+    return si
+
+
 def suffix_sort(text_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sort all suffixes of the encoded text.
 
@@ -118,14 +150,7 @@ def suffix_sort(text_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = int(text_np.size)
     if n == 0:
         return np.array([0], np.int32), np.array([0], np.int32)
-    text = jnp.asarray(text_np)
-    rank, si, maxrank = _initial_ranks(text, n)
-    k = 1
-    while int(maxrank) < n - 1:
-        rank, si, maxrank = _doubling_round(rank, jnp.int32(k), n)
-        k *= 2
-        if k > 2 * n:  # safety: cannot happen with valid keys
-            raise RuntimeError("prefix doubling failed to converge")
+    si = _suffix_sort_device(jnp.asarray(text_np), n)
     suftab = np.empty(n + 1, np.int32)
     suftab[:n] = np.asarray(si)
     suftab[n] = n

@@ -64,6 +64,8 @@ class ESA:
     largelcpvalues: int = 0     # count of lcp values >= 255 (for .prj)
     indexname: str = ""
     _device_cache: dict[str, Any] = field(default_factory=dict, repr=False)
+    _aux_bck: dict[int, np.ndarray] = field(default_factory=dict, repr=False)
+    _rank_keys: dict[tuple, Any] = field(default_factory=dict, repr=False)
 
     @property
     def totallength(self) -> int:
@@ -95,3 +97,61 @@ class ESA:
                 raise ValueError(f"table {name} not built")
             self._device_cache[name] = jnp.asarray(host)
         return self._device_cache[name]
+
+    def key_bits(self) -> int:
+        """Bits per char in packed rank keys: regular codes 1..σ,
+        saturation code (1<<bits)-1 strictly above them."""
+        import math
+
+        return max(3, math.ceil(math.log2(self.alpha.num_regular + 2)))
+
+    def rank_keys(self, depth: int, levels: int):
+        """Packed comparison keys per suffix rank (device array,
+        cached): ``keys[lv][r]`` packs chars
+        ``text[suftab[r]+depth+lv*cpk : +cpk]`` at ``key_bits`` bits
+        each (regular char c -> c+1; specials and past-the-end
+        saturate to the max code from their first occurrence onward,
+        which keeps keys monotone over ranks).  One int32 gather then
+        replaces a cpk-char window gather in batched searches."""
+        import jax.numpy as jnp
+
+        key = (depth, levels)
+        if key not in self._rank_keys:
+            bits = self.key_bits()
+            cpk = 30 // bits
+            W = levels * cpk
+            n = self.totallength
+            text = self.text
+            starts = self.suftab.astype(np.int64)
+            R = starts.size
+            out = np.zeros((levels, R), np.int32)
+            maxcode = (1 << bits) - 1
+            chunk = 1 << 21
+            for c0 in range(0, R, chunk):
+                st = starts[c0 : c0 + chunk, None]
+                idx = st + depth + np.arange(W)[None, :]
+                inb = idx < n
+                ch = text[np.minimum(idx, max(n - 1, 0))].astype(np.int32)
+                special = (~inb) | (ch >= 250)  # WILDCARD
+                sat = np.maximum.accumulate(special, axis=1)
+                code = np.where(sat, maxcode, ch + 1)
+                for lv in range(levels):
+                    k = np.zeros(st.size, np.int64)
+                    for j in range(cpk):
+                        k = (k << bits) | code[:, lv * cpk + j]
+                    out[lv, c0 : c0 + chunk] = k.astype(np.int32)
+            self._rank_keys[key] = jnp.asarray(out)
+        return self._rank_keys[key]
+
+    def aux_bck(self, depth: int) -> np.ndarray:
+        """Bucket table at an arbitrary prefix depth (auxiliary, never
+        serialized).  Deeper-than-prefixlength buckets shrink the
+        batched binary searches to O(1) probes — the TPU-native trade
+        of cheap HBM for expensive gathers."""
+        if depth not in self._aux_bck:
+            from .build import bck_table
+
+            self._aux_bck[depth] = bck_table(
+                self.text, self.alpha.num_regular, depth
+            )
+        return self._aux_bck[depth]
