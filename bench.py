@@ -64,17 +64,26 @@ def ref_baseline_qps(tmpdir: str, query_fasta: str) -> float:
          "-indexname", idx], capture_output=True)
     if r.returncode != 0:
         return REF_QPS_FALLBACK
-    t0 = time.perf_counter()
-    r = subprocess.run([REF_VMATCH, "-complete", "-q", query_fasta, idx],
-                       capture_output=True)
-    dt = time.perf_counter() - t0
-    if r.returncode != 0:
-        return REF_QPS_FALLBACK
-    return B / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [REF_VMATCH, "-complete", "-q", query_fasta, idx],
+            capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            return REF_QPS_FALLBACK
+        best = min(best, dt)
+    return B / best
 
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip XLA compilation
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vstree_tpu.core.alphabet import dna_alphabet
     from vstree_tpu.core.multiseq import read_multiseq

@@ -20,9 +20,15 @@ import numpy as np
 
 from ..core.chardef import WILDCARD
 from ..core.multiseq import read_multiseq, reverse_complement_inplace
+from ..engine.approx import approx_complete_matches
 from ..engine.complete import exact_complete_matches
 from ..engine.funnel import MatchParams, process_final
 from ..engine.match import FLAGPALINDROMIC, MatchTable
+from ..engine.gextend import (
+    Seqs,
+    edit_extend_seeds,
+    hamming_extend_seeds,
+)
 from ..engine.query import find_query_matches
 from ..engine.repeats import find_maximal_pairs, find_tandems
 from ..engine.supermax import find_supermax
@@ -160,8 +166,26 @@ def run(argv: list[str], out=None) -> int:
                 print(line, file=out)
             return 0
         if opts["l"] is not None:
-            # maximal repeats (exact; -e/-h/-exdrop extension later)
-            mt = find_maximal_pairs(esa, opts["l"])
+            k_h = opts.get("h")
+            k_e = opts.get("e")
+            if k_h is not None or k_e is not None:
+                # approximate repeats: exact seeds + greedy extension
+                # (fself.c:95 -> extendgen.c callgenericextend)
+                k = k_e if k_e is not None else k_h
+                seedlength = max(opts.get("seedlength") or 0,
+                                 opts["l"] // (k + 1))
+                seeds = find_maximal_pairs(esa, seedlength)
+                sq = Seqs(ms.sequence, ms.sequence)
+                if k_e is not None:
+                    mt = edit_extend_seeds(
+                        sq, ev, seeds, k, opts["l"], seedlength,
+                        querycompare=False, selfmode=True)
+                else:
+                    mt = hamming_extend_seeds(
+                        sq, ev, seeds, k, opts["l"], seedlength,
+                        querycompare=False)
+            else:
+                mt = find_maximal_pairs(esa, opts["l"])
             mt = process_final(mt, ms, ev, mp)
             for line in render_matches(mt, ms, digits, showmode):
                 print(line, file=out)
@@ -186,27 +210,34 @@ def run(argv: list[str], out=None) -> int:
             [query.seq_bounds(i)[0] for i in range(query.numofsequences)],
             np.int64,
         )
-        tables: list[MatchTable] = []
-        if direct_on:
-            pats = [
-                query.sequence[slice(*query.seq_bounds(i))]
-                for i in range(query.numofsequences)
+        k_h = opts.get("h")
+        k_e = opts.get("e")
+
+        def run_pats(q, flags):
+            ps = [
+                q.sequence[slice(*q.seq_bounds(i))]
+                for i in range(q.numofsequences)
             ]
-            tables.append(
-                exact_complete_matches(esa, pats, query_starts=starts)
-            )
-        if opts["p"]:
-            qrc = reverse_complement_inplace(query)
-            prc = [
-                qrc.sequence[slice(*qrc.seq_bounds(i))]
-                for i in range(qrc.numofsequences)
-            ]
-            tables.append(
-                exact_complete_matches(
-                    esa, prc, flags_extra=FLAGPALINDROMIC,
+            if k_e is not None:
+                return approx_complete_matches(
+                    esa, ps, k_e, edit=True, flags_extra=flags,
                     query_starts=starts,
                 )
+            if k_h is not None:
+                return approx_complete_matches(
+                    esa, ps, k_h, edit=False, flags_extra=flags,
+                    query_starts=starts,
+                )
+            return exact_complete_matches(
+                esa, ps, flags_extra=flags, query_starts=starts
             )
+
+        tables: list[MatchTable] = []
+        if direct_on:
+            tables.append(run_pats(query, 0))
+        if opts["p"]:
+            qrc = reverse_complement_inplace(query)
+            tables.append(run_pats(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
         allmt = process_final(allmt, ms, ev, mp, query=query)
         for line in render_matches(allmt, ms, digits, showmode, query):
@@ -215,24 +246,39 @@ def run(argv: list[str], out=None) -> int:
 
     if opts["l"] is not None:
         # substring matching: MEMs / MUM candidates / MUMs
-        # (reference runquery.c:71-353 -> fquery.c findquerymatches)
+        # (reference runquery.c:71-353 -> fquery.c findquerymatches),
+        # optionally seed-extended for -e/-h
         if opts["mum"]:
             mode = "mumcand" if opts.get("mumcand") else "mum"
         else:
             mode = "mem"
+        k_h = opts.get("h")
+        k_e = opts.get("e")
+        k = k_e if k_e is not None else k_h
+
+        def run_q(q, flags):
+            if k is None:
+                return find_query_matches(esa, q, opts["l"], mode,
+                                          flags_extra=flags)
+            seedlength = max(opts.get("seedlength") or 0,
+                             opts["l"] // (k + 1))
+            seeds = find_query_matches(esa, q, seedlength, "mem",
+                                       flags_extra=flags)
+            sq = Seqs(ms.sequence, q.sequence)
+            if k_e is not None:
+                return edit_extend_seeds(
+                    sq, ev, seeds, k, opts["l"], seedlength,
+                    querycompare=True, selfmode=False)
+            return hamming_extend_seeds(
+                sq, ev, seeds, k, opts["l"], seedlength,
+                querycompare=True)
+
         tables = []
         if direct_on:
-            tables.append(
-                find_query_matches(esa, query, opts["l"], mode)
-            )
+            tables.append(run_q(query, 0))
         if opts["p"]:
             qrc = reverse_complement_inplace(query)
-            tables.append(
-                find_query_matches(
-                    esa, qrc, opts["l"], mode,
-                    flags_extra=FLAGPALINDROMIC,
-                )
-            )
+            tables.append(run_q(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
         allmt = process_final(allmt, ms, ev, mp, query=query)
         for line in render_matches(allmt, ms, digits, showmode, query):

@@ -1,0 +1,324 @@
+"""Approximate complete matching: Hamming (-h k) and edit (-e k).
+
+Reference algorithms (all emit start positions in suffix-rank order):
+- Hamming: esahamming linear suftab scan with mismatch stack
+  (src/Vmengine/esahamming.c:86-163),
+- edit: esaapm suftab scan with Myers bit-vector column stack
+  (src/Vmengine/esaapm.c:296-383); large k / long patterns:
+  splitesaapm pattern partitioning (src/Vmengine/splitesaapm.c:465);
+  per emitted start, (length, distance) from the longest-match scan
+  (src/Vmengine/longestmatch.c, approxcompl.c:13-65).
+
+TPU-native design — the partition filter IS the batch-friendly
+formulation, so it is used for every k (result set identical to the
+scanning algorithms), batched over ALL query patterns at once:
+
+1. split every pattern into k+1 pieces; any occurrence with <= k
+   errors contains one piece exactly (pigeonhole),
+2. locate all pieces of all patterns with ONE batched packed-key
+   interval lookup (engine/complete.py),
+3. expand piece hits to (query, start) candidates (edit: +-k shifts),
+   dedupe,
+4. verify all candidates in parallel: vectorized mismatch count
+   (Hamming) or multiword Myers bit-vector DP over gathered text
+   windows (edit) — uint32 lanes on the VPU,
+5. emit survivors in (query, suffix-rank-of-start) order to mirror
+   the reference's per-query rank-order scan.
+
+Semantics preserved exactly (verified against the reference binary):
+byte-equality compare (a wildcard in the pattern matches the same
+wildcard byte in the text), a SEPARATOR stops the scan — no window
+crossing one counts (esaapm.c:266-269), maxlength = plen + k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.chardef import SEPARATOR
+from ..index.esa import ESA
+from .complete import exact_interval_lookup
+from .match import FLAGCOMPLETEMATCH, FLAGQUERY, MatchTable
+
+
+def _all_piece_candidates(
+    esa: ESA, patterns: list[np.ndarray], k: int, shifted: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """(qidx, start) candidates for every pattern, deduped.
+
+    Pattern partitioning (splitesaapm.c:388-464): k+1 pieces per
+    pattern, one batched exact lookup for all pieces of all patterns.
+    Patterns containing special chars fall back to all-starts
+    (the reference's byte-equality scan can match them; the index
+    piece search cannot).
+    """
+    n = esa.totallength
+    qidx_l: list[np.ndarray] = []
+    piece_rows = []   # (qi, off, len)
+    brute_q = []
+    for qi, pat in enumerate(patterns):
+        plen = pat.size
+        if (pat >= 250).any():
+            brute_q.append(qi)
+            continue
+        parts = k + 1
+        base = plen // parts
+        rem = plen % parts
+        off = 0
+        for i in range(parts):
+            ln = base + (1 if i < rem else 0)
+            if ln > 0:
+                piece_rows.append((qi, off, ln))
+            off += ln
+    cands = []
+    if piece_rows:
+        maxlen = max(ln for _, _, ln in piece_rows)
+        P = len(piece_rows)
+        pats = np.full((P, maxlen), -1, np.int32)
+        plens = np.zeros(P, np.int32)
+        for i, (qi, off, ln) in enumerate(piece_rows):
+            pats[i, :ln] = patterns[qi][off : off + ln].astype(np.int32)
+            plens[i] = ln
+        lo, hi = exact_interval_lookup(esa, pats, plens)
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total:
+            pidx = np.repeat(np.arange(P), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            ranks = (np.arange(total) - starts[pidx]) + lo[pidx]
+            occ = esa.suftab[ranks].astype(np.int64)
+            offs = np.array([o for _, o, _ in piece_rows], np.int64)
+            qis = np.array([q for q, _, _ in piece_rows], np.int64)
+            pos = occ - offs[pidx]
+            qi_arr = qis[pidx]
+            if shifted:
+                sh = np.arange(-k, k + 1, dtype=np.int64)
+                pos = (pos[:, None] + sh[None, :]).ravel()
+                qi_arr = np.repeat(qi_arr, sh.size)
+            keep = (pos >= 0) & (pos < n)
+            cands.append((qi_arr[keep], pos[keep]))
+    for qi in brute_q:
+        allpos = np.arange(max(n, 0), dtype=np.int64)
+        cands.append((np.full(allpos.size, qi, np.int64), allpos))
+    if not cands:
+        z = np.zeros(0, np.int64)
+        return z, z
+    qi_all = np.concatenate([c[0] for c in cands])
+    pos_all = np.concatenate([c[1] for c in cands])
+    key = qi_all * (n + 1) + pos_all
+    uniq = np.unique(key)
+    return uniq // (n + 1), uniq % (n + 1)
+
+
+# ---------------------------------------------------------------------------
+# Hamming verification (esahamming.c semantics)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("maxplen", "n"))
+def _verify_hamming(text, cand, qidx, patmat, plens, maxplen: int, n: int):
+    idx = cand[:, None] + jnp.arange(maxplen, dtype=jnp.int32)[None, :]
+    inb = idx < n
+    ch = jnp.where(inb, text[jnp.minimum(idx, n - 1)].astype(jnp.int32),
+                   SEPARATOR)
+    pat = patmat[qidx]                   # [P, maxplen]
+    pl = plens[qidx]
+    active = (jnp.arange(maxplen, dtype=jnp.int32)[None, :]
+              < pl[:, None])
+    sep = active & (ch == SEPARATOR)
+    ok = ~jnp.any(sep, axis=1)
+    mm = jnp.sum((active & (ch != pat)).astype(jnp.int32), axis=1)
+    return ok, mm
+
+
+# ---------------------------------------------------------------------------
+# edit verification: batched multiword Myers (Myers 1999 / Hyyro)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("w", "maxlen", "n"))
+def _verify_edit(text, cand, qidx, eqs, plens, w: int, maxlen: int, n: int):
+    """Per candidate: (minscore over lengths, bestlen, bestscore).
+
+    eqs: uint32[Q, w, 256] per-query pattern masks.  Tracks the
+    reference longest-match rule (update when score <= stored, stop
+    updates at the first SEPARATOR — longestmatch.c:6-11,40-45) and
+    the existence score min over all lengths (esaapm success test).
+    """
+    P = cand.shape[0]
+    idx = cand[:, None] + jnp.arange(maxlen, dtype=jnp.int32)[None, :]
+    inb = idx < n
+    window = jnp.where(
+        inb, text[jnp.minimum(idx, n - 1)].astype(jnp.int32), SEPARATOR
+    )
+    pl = plens[qidx]                       # [P]
+    top_word = (pl - 1) // 32              # [P]
+    top_shift = ((pl - 1) % 32).astype(jnp.uint32)
+
+    def step(l, st):
+        Pv, Mv, score, minsc, bestlen, bestsc, sepseen = st
+        ch = window[:, l]
+        is_sep = ch == SEPARATOR
+        Eq = [eqs[qidx, j, ch] for j in range(w)]
+        carry = jnp.zeros((P,), jnp.uint32)
+        Xh = []
+        for j in range(w):
+            t = Eq[j] & Pv[j]
+            s1 = t + Pv[j]
+            c1 = (s1 < t).astype(jnp.uint32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(jnp.uint32)
+            carry = c1 | c2
+            Xh.append((s2 ^ Pv[j]) | Eq[j])
+        Xv = [Eq[j] | Mv[j] for j in range(w)]
+        Ph = [Mv[j] | ~(Xh[j] | Pv[j]) for j in range(w)]
+        Mh = [Pv[j] & Xh[j] for j in range(w)]
+        # top-row bit of the per-candidate top word
+        ph_top = Ph[0]
+        mh_top = Mh[0]
+        for j in range(1, w):
+            sel = top_word == j
+            ph_top = jnp.where(sel, Ph[j], ph_top)
+            mh_top = jnp.where(sel, Mh[j], mh_top)
+        score = score + ((ph_top >> top_shift) & 1).astype(jnp.int32)
+        score = score - ((mh_top >> top_shift) & 1).astype(jnp.int32)
+        Ph_s = []
+        Mh_s = []
+        ph_c = jnp.ones((P,), jnp.uint32)
+        mh_c = jnp.zeros((P,), jnp.uint32)
+        for j in range(w):
+            Ph_s.append((Ph[j] << 1) | ph_c)
+            Mh_s.append((Mh[j] << 1) | mh_c)
+            ph_c = Ph[j] >> 31
+            mh_c = Mh[j] >> 31
+        nPv = tuple(Mh_s[j] | ~(Xv[j] | Ph_s[j]) for j in range(w))
+        nMv = tuple(Ph_s[j] & Xv[j] for j in range(w))
+        # the reference scan STOPS at a SEPARATOR (esaapm.c:266-269):
+        # windows crossing one never count, for existence or length
+        sepseen = sepseen | is_sep
+        minsc = jnp.where(sepseen, minsc, jnp.minimum(minsc, score))
+        upd = (~sepseen) & (bestsc >= score)
+        bestlen = jnp.where(upd, l + 1, bestlen)
+        bestsc = jnp.where(upd, score, bestsc)
+        return nPv, nMv, score, minsc, bestlen, bestsc, sepseen
+
+    ones = jnp.full((P,), 0xFFFFFFFF, jnp.uint32)
+    st = (
+        tuple(ones for _ in range(w)),
+        tuple(jnp.zeros((P,), jnp.uint32) for _ in range(w)),
+        pl.astype(jnp.int32),
+        pl.astype(jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+        pl.astype(jnp.int32),
+        jnp.zeros((P,), bool),
+    )
+    st = lax.fori_loop(0, maxlen, step, st)
+    _, _, _, minsc, bestlen, bestsc, _ = st
+    return minsc, bestlen, bestsc
+
+
+# ---------------------------------------------------------------------------
+# top level (hammingprocessstartpos / edistprocessstartpos,
+# approxcompl.c:13-80)
+# ---------------------------------------------------------------------------
+
+
+def approx_complete_matches(
+    esa: ESA,
+    query: "list[np.ndarray]",
+    k: int,
+    edit: bool,
+    query_seqnums: np.ndarray | None = None,
+    flags_extra: int = 0,
+    query_starts: np.ndarray | None = None,
+) -> MatchTable:
+    """-complete -h/-e k over a batch of query patterns; emission in
+    (query, rank-of-start) order."""
+    B = len(query)
+    n = esa.totallength
+    if B == 0 or n == 0:
+        return MatchTable()
+    if query_seqnums is None:
+        query_seqnums = np.arange(B, dtype=np.int64)
+    if query_starts is None:
+        query_starts = np.zeros(B, np.int64)
+
+    plens_np = np.array([p.size for p in query], np.int32)
+    if edit and (plens_np <= k).any():
+        raise ValueError("edit threshold must be < pattern length")
+    maxplen = int(plens_np.max())
+    patmat = np.full((B, maxplen), -2, np.int32)   # -2: never equal
+    for i, p in enumerate(query):
+        patmat[i, : p.size] = p.astype(np.int32)
+
+    qidx, pos = _all_piece_candidates(esa, query, k, shifted=edit)
+    if edit:
+        ok_pre = pos <= n - (plens_np[qidx].astype(np.int64) - k)
+    else:
+        ok_pre = pos + plens_np[qidx] <= n
+    qidx, pos = qidx[ok_pre], pos[ok_pre]
+    if pos.size == 0:
+        return MatchTable()
+
+    d_text = esa.device("text")
+    d_pl = jnp.asarray(plens_np)
+    if edit:
+        w = (maxplen + 31) // 32
+        eqs = np.zeros((B, w, 256), np.uint32)
+        for qi, p in enumerate(query):
+            for i, c in enumerate(p):
+                eqs[qi, i // 32, int(c)] |= np.uint32(1 << (i % 32))
+        minsc, bestlen, bestsc = _verify_edit(
+            d_text, jnp.asarray(pos, dtype=jnp.int32),
+            jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(eqs),
+            d_pl, w, maxplen + k, n,
+        )
+        okv = np.asarray(minsc) <= k
+        lens = np.asarray(bestlen).astype(np.int64)
+        dist = np.asarray(bestsc).astype(np.int64)
+    else:
+        okh, mm = _verify_hamming(
+            d_text, jnp.asarray(pos, dtype=jnp.int32),
+            jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(patmat),
+            d_pl, maxplen, n,
+        )
+        mm = np.asarray(mm)
+        okv = np.asarray(okh) & (mm <= k)
+        lens = plens_np[qidx].astype(np.int64)
+        dist = -mm.astype(np.int64)
+
+    qidx = qidx[okv]
+    pos = pos[okv]
+    lens = lens[okv]
+    dist = dist[okv]
+    if pos.size == 0:
+        return MatchTable()
+    order = np.lexsort((esa.stitab[pos], qidx))
+    qidx, pos, lens, dist = (qidx[order], pos[order], lens[order],
+                             dist[order])
+
+    tot = pos.size
+    ms = esa.multiseq
+    seq1, rel1 = ms.pos_to_pair(pos)
+    return MatchTable(
+        length1=lens,
+        position1=pos,
+        length2=plens_np[qidx].astype(np.int64),
+        position2=query_starts[qidx].astype(np.int64),
+        distance=dist,
+        flag=np.full(tot, FLAGQUERY | FLAGCOMPLETEMATCH | flags_extra,
+                     np.int64),
+        seqnum1=seq1,
+        relpos1=rel1,
+        seqnum2=query_seqnums[qidx].astype(np.int64),
+        relpos2=np.zeros(tot, np.int64),
+        evalue=np.zeros(tot, np.float64),
+        idnumber=np.zeros(tot, np.int64),
+        transnum=np.full(tot, -1, np.int64),
+    )

@@ -116,23 +116,71 @@ def _interval_search(
     return lo, lo2
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "nsteps"))
-def _key_interval_search(
-    keys: jax.Array,     # int32[levels, R] packed rank keys
-    qlow: jax.Array,     # int32[B, levels] pattern key, 0-padded
-    qhigh: jax.Array,    # int32[B, levels] pattern key, max-padded
-    lo0: jax.Array,
-    hi0: jax.Array,
+@functools.partial(
+    jax.jit,
+    static_argnames=("ppl", "levels", "bits", "numofchars", "nsteps",
+                     "maxplen"),
+)
+def _device_exact_lookup(
+    keys: jax.Array,       # int32[levels, R] packed rank keys
+    bck: jax.Array,        # uint32[2 * numofchars**ppl]
+    patterns: jax.Array,   # int32[B, maxplen], -1 padded
+    plens: jax.Array,      # int32[B]
+    ppl: int,
     levels: int,
+    bits: int,
+    numofchars: int,
     nsteps: int,
+    maxplen: int,
 ):
-    """[lo, hi) of ranks whose packed keys lie in [qlow, qhigh]:
-    pure integer binary searches — one int32 gather per level per
-    probe, no text access at all."""
+    """Whole exact-lookup pipeline on device: bucket code, bracket,
+    query-key packing, and the packed-key binary searches — a single
+    dispatch with no host-side per-batch work.  ``patterns`` may be a
+    narrow integer dtype (int8/int16) to minimise host->device
+    transfer; -1 padding, -2 never-matches."""
+    patterns = patterns.astype(jnp.int32)
+    B = patterns.shape[0]
+    # bucket code over the first ppl chars (σ^ppl <= 2^24 by
+    # construction, so int32 is sufficient)
+    code = jnp.zeros(B, jnp.int32)
+    okc = jnp.ones(B, bool)
+    for j in range(ppl):
+        c = patterns[:, j]
+        okc = okc & (c >= 0) & (c < numofchars)
+        code = code * numofchars + jnp.maximum(c, 0)
+    code = jnp.where(okc, code, 0)
+    lo0 = jnp.where(okc, bck[2 * code].astype(jnp.int32), 0)
+    hi0 = jnp.where(okc, bck[2 * code + 1].astype(jnp.int32), 0)
+
+    # pack query keys
+    cpk = 30 // bits
+    maxcode = (1 << bits) - 1
+    W = levels * cpk
+    offs = ppl + jnp.arange(W, dtype=jnp.int32)
+    ch = patterns[:, jnp.minimum(offs, maxplen - 1)]
+    active = offs[None, :] < plens[:, None]
+    regular = (ch >= 0) & (ch < WILDCARD)
+    ok = ~jnp.any(active & ~regular, axis=1)
+    lo0 = jnp.where(ok, lo0, 0)
+    hi0 = jnp.where(ok, hi0, 0)
+    cl = jnp.where(active, ch + 1, 0)
+    chi = jnp.where(active, ch + 1, maxcode)
+    qlow = []
+    qhigh = []
+    for lv in range(levels):
+        kl = jnp.zeros(B, jnp.int32)
+        kh = jnp.zeros(B, jnp.int32)
+        for j in range(cpk):
+            kl = (kl << bits) | cl[:, lv * cpk + j]
+            kh = (kh << bits) | chi[:, lv * cpk + j]
+        qlow.append(kl)
+        qhigh.append(kh)
+    qlow = jnp.stack(qlow, axis=1)
+    qhigh = jnp.stack(qhigh, axis=1)
 
     def ge(mid, Q, strict):
-        gt = jnp.zeros(mid.shape[0], bool)
-        eq = jnp.ones(mid.shape[0], bool)
+        gt = jnp.zeros(B, bool)
+        eq = jnp.ones(B, bool)
         for lv in range(levels):
             k = keys[lv, mid]
             q = Q[:, lv]
@@ -144,7 +192,7 @@ def _key_interval_search(
         lo, hi = st
         open_ = lo < hi
         mid = (lo + hi) // 2
-        g = ge(mid, qlow, False)     # key >= qlow
+        g = ge(mid, qlow, False)
         lo = jnp.where(open_ & ~g, mid + 1, lo)
         hi = jnp.where(open_ & g, mid, hi)
         return lo, hi
@@ -153,7 +201,7 @@ def _key_interval_search(
         lo, hi = st
         open_ = lo < hi
         mid = (lo + hi) // 2
-        g = ge(mid, qhigh, True)     # key > qhigh
+        g = ge(mid, qhigh, True)
         lo = jnp.where(open_ & ~g, mid + 1, lo)
         hi = jnp.where(open_ & g, mid, hi)
         return lo, hi
@@ -161,37 +209,6 @@ def _key_interval_search(
     lo, _ = lax.fori_loop(0, nsteps, lower, (lo0, hi0))
     ub, _ = lax.fori_loop(0, nsteps, upper, (lo0, hi0))
     return lo, ub
-
-
-def _pack_pattern_keys(
-    patterns: np.ndarray, plens: np.ndarray, depth: int, levels: int,
-    bits: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(qlow, qhigh, ok) for the key search: chars beyond the pattern
-    pad with 0 (low) / maxcode (high); ok=False for patterns with a
-    special char beyond depth (those can never match)."""
-    cpk = 30 // bits
-    W = levels * cpk
-    B = patterns.shape[0]
-    maxcode = (1 << bits) - 1
-    idx = depth + np.arange(W)[None, :]
-    ch = patterns[:, np.minimum(idx[0], patterns.shape[1] - 1)]
-    active = idx < plens[:, None]
-    regular = (ch >= 0) & (ch < WILDCARD)
-    ok = ~np.any(active & ~regular, axis=1)
-    code = np.where(active, ch + 1, 0)
-    qlow = np.zeros((B, levels), np.int32)
-    qhigh = np.zeros((B, levels), np.int32)
-    code_hi = np.where(active, ch + 1, maxcode)
-    for lv in range(levels):
-        kl = np.zeros(B, np.int64)
-        kh = np.zeros(B, np.int64)
-        for j in range(cpk):
-            kl = (kl << bits) | code[:, lv * cpk + j]
-            kh = (kh << bits) | code_hi[:, lv * cpk + j]
-        qlow[:, lv] = kl.astype(np.int32)
-        qhigh[:, lv] = kh.astype(np.int32)
-    return qlow, qhigh, ok
 
 
 def pattern_codes(
@@ -232,45 +249,71 @@ def exact_interval_lookup(
     # the whole binary search (and comparisons skip the bucket prefix)
     budget = 1 << 24
     deep = int(math.log(budget) / math.log(numofchars))
-    ppl = max(pl, min(deep, int(plens.min())))
-    if ppl > pl or esa.bcktab is None:
-        bck = esa.aux_bck(ppl)
-    else:
-        bck = esa.bcktab
-    codes = pattern_codes(patterns, plens, numofchars, ppl)
-    lo0 = np.zeros(B, np.int32)
-    hi0 = np.zeros(B, np.int32)
-    valid = codes >= 0
-    vcodes = np.maximum(codes, 0)
-    lo0[valid] = bck[2 * vcodes[valid]].astype(np.int32)
-    hi0[valid] = bck[2 * vcodes[valid] + 1].astype(np.int32)  # mid
+    ppl = max(1, min(deep, int(plens.min())))
 
     # bucket brackets are narrow: ~log2(max bucket width) probe steps
-    # suffice (vs log2(n) from scratch); round up to limit recompiles
-    maxw = int(np.max(hi0 - lo0)) if B else 2
-    nsteps = max(2, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
-    nsteps = min(nsteps + (-nsteps) % 4,
+    # suffice (vs log2(n) from scratch)
+    bck = esa.aux_bck(ppl)
+    maxbucket = esa.aux_bck_maxwidth(ppl)
+    nsteps = max(2, int(np.ceil(np.log2(max(maxbucket, 2)))) + 1)
+    nsteps = min(nsteps,
                  max(1, int(np.ceil(np.log2(max(n + 1, 2)))) + 1))
 
     bits = esa.key_bits()
     cpk = 30 // bits
     levels = max(1, int(np.ceil((maxplen - ppl) / cpk)))
     if levels <= MAX_KEY_LEVELS:
-        qlow, qhigh, ok = _pack_pattern_keys(
-            patterns, plens, ppl, levels, bits
-        )
-        lo0 = np.where(ok, lo0, 0).astype(np.int32)
-        hi0 = np.where(ok, hi0, 0).astype(np.int32)
-        lo, hi = _key_interval_search(
-            esa.rank_keys(ppl, levels),
-            jnp.asarray(qlow),
-            jnp.asarray(qhigh),
-            jnp.asarray(lo0),
-            jnp.asarray(hi0),
-            levels,
-            nsteps,
-        )
+        # pad the pattern matrix to the key coverage so distinct
+        # maxplen values share one compiled kernel per level count;
+        # ship the narrowest dtype that holds the codes (transfer is
+        # the per-batch cost on remote devices)
+        narrow = (np.int8 if numofchars < 126 else
+                  np.int16 if numofchars < 32766 else np.int32)
+        padto = ppl + levels * cpk
+        if maxplen < padto:
+            pad = np.full((B, padto - maxplen), -1, narrow)
+            patterns = np.concatenate(
+                [patterns.astype(narrow), pad], axis=1)
+            maxplen = padto
+        patterns = patterns.astype(narrow)
+
+        def run_group(pat_rows, plen_rows, steps):
+            return _device_exact_lookup(
+                esa.rank_keys(ppl, levels),
+                esa.aux_bck_device(ppl),
+                jnp.asarray(pat_rows),
+                jnp.asarray(plen_rows),
+                ppl, levels, bits, numofchars, steps, maxplen,
+            )
+
+        if B >= 4096 and nsteps > 6:
+            # one cheap host pass over the batch tightens the step
+            # count to the widest bucket actually queried (usually
+            # far below the global maximum)
+            codes = pattern_codes(patterns.astype(np.int32), plens,
+                                  numofchars, ppl)
+            vc = np.maximum(codes, 0)
+            wid = np.where(
+                codes >= 0,
+                bck[2 * vc + 1].astype(np.int64)
+                - bck[2 * vc].astype(np.int64),
+                0,
+            )
+            maxw = int(wid.max()) if wid.size else 2
+            bsteps = max(2, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
+            # quantize to limit compile variants
+            bsteps = min(nsteps, bsteps + (-bsteps) % 3)
+            nsteps = bsteps
+
+        lo, hi = run_group(patterns, plens, nsteps)
     else:
+        codes = pattern_codes(patterns, plens, numofchars, ppl)
+        lo0 = np.zeros(B, np.int32)
+        hi0 = np.zeros(B, np.int32)
+        valid = codes >= 0
+        vcodes = np.maximum(codes, 0)
+        lo0[valid] = bck[2 * vcodes[valid]].astype(np.int32)
+        hi0[valid] = bck[2 * vcodes[valid] + 1].astype(np.int32)
         lo, hi = _interval_search(
             esa.device("text"),
             esa.device("suftab"),

@@ -152,6 +152,17 @@ def process_final(
     matches with E-values and id numbers assigned."""
     if len(mt) == 0:
         return mt
+    # fetchpositions (procfinal.c:101-151): seqnum/relpos re-derived
+    # from the (possibly extension-shifted) absolute positions; the
+    # query side is engine-authoritative (relpos2 tracks the query)
+    mt.seqnum1, mt.relpos1 = ms.pos_to_pair(mt.position1)
+    notq = (mt.flag & FLAGQUERY) == 0
+    if notq.any():
+        s2, r2 = ms.pos_to_pair(mt.position2[notq])
+        mt.seqnum2 = mt.seqnum2.copy()
+        mt.relpos2 = mt.relpos2.copy()
+        mt.seqnum2[notq] = s2
+        mt.relpos2[notq] = r2
     # fetchpositions: palindromic query matches report coordinates in
     # the original (non-RC) orientation (procfinal.c:152-158)
     pal = ((mt.flag & FLAGPALINDROMIC) != 0) & ((mt.flag & FLAGQUERY) != 0)

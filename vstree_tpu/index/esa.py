@@ -155,3 +155,22 @@ class ESA:
                 self.text, self.alpha.num_regular, depth
             )
         return self._aux_bck[depth]
+
+    def aux_bck_maxwidth(self, depth: int) -> int:
+        """Maximal bucket width of the depth-d bucket table (bounds
+        the binary-search step count); cached."""
+        k = ("maxw", depth)
+        if k not in self._aux_bck:
+            bck = self.aux_bck(depth)
+            left = bck[0::2].astype(np.int64)
+            mid = bck[1::2].astype(np.int64)
+            self._aux_bck[k] = int(np.max(mid - left)) if left.size else 0
+        return self._aux_bck[k]
+
+    def aux_bck_device(self, depth: int):
+        import jax.numpy as jnp
+
+        k = ("aux_bck", depth)
+        if k not in self._device_cache:
+            self._device_cache[k] = jnp.asarray(self.aux_bck(depth))
+        return self._device_cache[k]

@@ -90,12 +90,39 @@ class Evalues:
     def get_batch(
         self, multiplier: np.ndarray, distance: np.ndarray, length: np.ndarray
     ) -> np.ndarray:
-        """Vectorized E-values for match arrays."""
-        out = np.empty(len(distance), np.float64)
-        for i in range(len(distance)):
-            out[i] = self.get(
-                float(multiplier[i]), int(distance[i]), int(length[i])
-            )
+        """Vectorized E-values for match arrays (same math as get())."""
+        distance = np.asarray(distance, np.int64)
+        length = np.asarray(length, np.int64)
+        if distance.size == 0:
+            return np.zeros(0, np.float64)
+        k = np.abs(distance)
+        kmax = int(np.minimum(k, 20 + MAXEXPONENTOF2).max())
+        if kmax + 1 > len(self.linestart):
+            self._grow(kmax)
+        ls = np.asarray(self.linestart, np.int64)
+        tab = np.asarray(self.table, np.float64)
+        kc = np.minimum(k, len(ls) - 1)
+        i = ls[kc] + length
+        row_start = ls[kc] + kc + 1
+        has_next = kc + 1 < len(ls)
+        row_end = np.where(
+            has_next, ls[np.minimum(kc + 1, len(ls) - 1)] + kc + 2,
+            len(tab),
+        )
+        inrow = (i >= row_start) & (i < row_end)
+        val = np.where(
+            inrow, tab[np.clip(i, 0, max(len(tab) - 1, 0))], 0.0
+        )
+        # edit-distance scaling (evalues.c:270-305)
+        d = distance
+        hequot = np.ones(d.size, np.float64)
+        small = (d > 0) & (d <= 20)
+        hequot[small] = AVERAGEQUOT[d[small]]
+        big = (d > 20) & (d - 20 <= MAXEXPONENTOF2)
+        hequot[big] = 1.31e+07 * np.exp2((d[big] - 20).astype(np.float64))
+        toobig = d - 20 > MAXEXPONENTOF2
+        out = np.asarray(multiplier, np.float64) * hequot * val
+        out[toobig] = 0.0
         return out
 
 
