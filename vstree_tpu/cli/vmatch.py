@@ -33,6 +33,12 @@ from ..engine.query import find_query_matches
 from ..engine.repeats import find_maximal_pairs, find_tandems
 from ..engine.supermax import find_supermax
 from ..index.io import read_index
+from ..engine.match import FLAGPALINDROMIC as _FLAGPAL
+from ..postprocess.select import (
+    SORTMODES,
+    remove_contained,
+    sort_matches,
+)
 from ..output.render import (
     SHOWABSOLUTE,
     SHOWNODIST,
@@ -143,6 +149,43 @@ def run(argv: list[str], out=None) -> int:
 
     digits = assign_virtual_digits(ms)
 
+    if opts["sort"] is not None and opts["best"] is None:
+        raise SystemExit("vmatch: option -sort requires option -best")
+
+    def finish(mt, query=None, raw=None):
+        """preinfo (-i), best-k (-best [+ -sort]), render."""
+        if opts["i"]:
+            # match-count distribution (vmatcount.c via distri.c):
+            # histogram of match lengths, engine output pre-filter
+            lens = (raw if raw is not None else mt).length1
+            print(f"# all {lens.size}", file=out)
+            for ln in np.unique(lens):
+                print(f"# {ln} {int((lens == ln).sum())}", file=out)
+            return 0
+        if opts["best"] is not None:
+            # bestmatch.c cmpBestMatch order: Evalue asc, length1
+            # desc, position1 asc, length2 desc, position2 asc,
+            # direct before palindromic
+            pal = ((mt.flag & _FLAGPAL) != 0).astype(np.int64)
+            order = np.lexsort((
+                pal, mt.position2, -mt.length2, mt.position1,
+                -mt.length1, mt.evalue,
+            ))
+            mt = mt.select(order[: opts["best"]])
+            if opts["sort"] is not None:
+                # showbestmatchlist (procfinal.c:720-735): contained
+                # matches removed first; mode "ia" keeps the
+                # removecontained order
+                if opts["sort"] not in SORTMODES:
+                    raise SystemExit(
+                        f"vmatch: illegal sort mode {opts['sort']!r}")
+                mt, _ = remove_contained(mt)
+                if opts["sort"] != "ia":
+                    mt = sort_matches(mt, opts["sort"])
+        for line in render_matches(mt, ms, digits, showmode, query):
+            print(line, file=out)
+        return 0
+
     if not opts["q"]:
         # self-match tasks
         if opts["supermax"]:
@@ -150,21 +193,17 @@ def run(argv: list[str], out=None) -> int:
                 raise SystemExit(
                     "vmatch: option -supermax requires option -l"
                 )
-            mt = find_supermax(esa, opts["l"])
-            mt = process_final(mt, ms, ev, mp)
-            for line in render_matches(mt, ms, digits, showmode):
-                print(line, file=out)
-            return 0
+            raw = find_supermax(esa, opts["l"])
+            mt = process_final(raw, ms, ev, mp)
+            return finish(mt, raw=raw)
         if opts["tandem"]:
             if opts["l"] is None:
                 raise SystemExit(
                     "vmatch: option -tandem requires option -l"
                 )
-            mt = find_tandems(esa, opts["l"])
-            mt = process_final(mt, ms, ev, mp)
-            for line in render_matches(mt, ms, digits, showmode):
-                print(line, file=out)
-            return 0
+            raw = find_tandems(esa, opts["l"])
+            mt = process_final(raw, ms, ev, mp)
+            return finish(mt, raw=raw)
         if opts["l"] is not None:
             k_h = opts.get("h")
             k_e = opts.get("e")
@@ -186,10 +225,9 @@ def run(argv: list[str], out=None) -> int:
                         querycompare=False)
             else:
                 mt = find_maximal_pairs(esa, opts["l"])
+            raw = mt
             mt = process_final(mt, ms, ev, mp)
-            for line in render_matches(mt, ms, digits, showmode):
-                print(line, file=out)
-            return 0
+            return finish(mt, raw=raw)
         raise SystemExit("vmatch: task not implemented yet")
 
     query = read_multiseq(opts["q"], esa.alpha, store_original=True)
@@ -239,10 +277,9 @@ def run(argv: list[str], out=None) -> int:
             qrc = reverse_complement_inplace(query)
             tables.append(run_pats(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
+        raw = allmt
         allmt = process_final(allmt, ms, ev, mp, query=query)
-        for line in render_matches(allmt, ms, digits, showmode, query):
-            print(line, file=out)
-        return 0
+        return finish(allmt, query=query, raw=raw)
 
     if opts["l"] is not None:
         # substring matching: MEMs / MUM candidates / MUMs
@@ -280,10 +317,9 @@ def run(argv: list[str], out=None) -> int:
             qrc = reverse_complement_inplace(query)
             tables.append(run_q(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
+        raw = allmt
         allmt = process_final(allmt, ms, ev, mp, query=query)
-        for line in render_matches(allmt, ms, digits, showmode, query):
-            print(line, file=out)
-        return 0
+        return finish(allmt, query=query, raw=raw)
 
     raise SystemExit("vmatch: task not implemented yet")
 

@@ -1,0 +1,197 @@
+"""2-D fragment chaining (chain2dim).
+
+Reference: src/kurtz-basic/chain2dim.c.  The scores computed here
+follow ``bruteforcechainingscores`` (chain2dim.c:776-890) — the
+reference's own specification oracle for its sweep implementation —
+with the inner predecessor maximisation vectorized over fragments.
+Chain retrieval mirrors findmaximalscores / retrievechainthreshold
+(chain2dim.c:1169-1363): right-maximal chains, local equivalence
+classes by chain start, thresholds for the local modes.
+
+Modes (include/chaindef.h:25-31): global [gc|ov], local
+[minscore | k best | percent away].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..engine.match import MatchTable
+
+GLOBAL = "global"
+GLOBALGC = "globalgc"
+GLOBALOV = "globalov"
+LOCALMAX = "localmax"
+LOCALTHRESH = "localthreshold"
+LOCALBEST = "localbest"
+LOCALPERCENT = "localpercent"
+
+UNDEF = -1
+
+
+@dataclass
+class ChainMode:
+    kind: str = GLOBAL
+    minscore: int = 0
+    howmanybest: int = 0
+    percentaway: int = 0
+    maxgapwidth: int = 0
+    weightfactor: float = 1.0
+
+
+@dataclass
+class Chains:
+    """Result: per chain the fragment indices (into the presorted
+    match table) and its score."""
+    fragments: list[np.ndarray]
+    scores: list[int]
+    table: MatchTable          # the presorted matches
+
+
+def _fragments_from_matches(mt: MatchTable, mode: ChainMode):
+    """vmatchinitfragmentinfo (Vmatch/chainvm.c:29-80): weight =
+    weightfactor * |score|; terminal gaps for every mode but plain
+    global."""
+    s0 = mt.position1.astype(np.int64)
+    e0 = s0 + mt.length1 - 1
+    s1 = mt.position2.astype(np.int64)
+    e1 = s1 + mt.length2 - 1
+    weight = (mode.weightfactor * np.abs(mt.score)).astype(np.int64)
+    init_gap = s0 + s1
+    if len(mt):
+        term_gap = (e0.max() - e0) + (e1.max() - e1)
+    else:
+        term_gap = np.zeros(0, np.int64)
+    return s0, e0, s1, e1, weight, init_gap, term_gap
+
+
+def chain_fragments(mt: MatchTable, mode: ChainMode) -> Chains:
+    """Compute chains over a match table presorted by position2
+    (vmatch presortdim == 1, chainvm.c:256)."""
+    order = np.argsort(mt.position2, kind="stable")
+    mt = mt.select(order)
+    n = len(mt)
+    s0, e0, s1, e1, w, ig, tg = _fragments_from_matches(mt, mode)
+    gc = mode.kind in (GLOBALGC,)
+    ov = mode.kind == GLOBALOV
+    local = mode.kind in (LOCALMAX, LOCALTHRESH, LOCALBEST,
+                          LOCALPERCENT)
+
+    score = np.zeros(n, np.int64)
+    prev = np.full(n, UNDEF, np.int64)
+    first = np.arange(n, dtype=np.int64)
+
+    if n >= 1:
+        score[0] = w[0] - ((ig[0] + tg[0]) if gc else 0)
+    for j in range(1, n):
+        # predecessor candidates i < j
+        i = np.arange(j)
+        if ov:
+            comb = ((s0[i] < s0[j]) & (e0[i] < e0[j])
+                    & (s1[i] < s1[j]) & (e1[i] < e1[j]))
+        else:
+            comb = (e0[i] < s0[j]) & (e1[i] < s1[j])
+        if mode.maxgapwidth:
+            g0 = np.maximum(s0[j] - e0[i] - 1, 0)
+            g1 = np.maximum(s1[j] - e1[i] - 1, 0)
+            comb &= (g0 <= mode.maxgapwidth) & (g1 <= mode.maxgapwidth)
+        if not comb.any():
+            score[j] = w[j] - ((ig[j] + tg[j]) if gc else 0)
+            continue
+        ii = i[comb]
+        if mode.kind == GLOBAL:
+            cand = score[ii] + w[j]
+            pr = ii
+        else:
+            if ov:
+                gcost = (np.maximum(e0[ii] - s0[j] + 1, 0)
+                         + np.maximum(e1[ii] - s1[j] + 1, 0))
+            else:
+                gcost = (s0[j] - e0[ii]) + (s1[j] - e1[ii])
+            base = score[ii] - gcost
+            if gc:
+                cand = base + w[j] + tg[ii] - tg[j]
+                pr = ii
+            else:
+                # local / overlaps: restart when non-positive
+                cand = np.where(base > 0, base + w[j], w[j])
+                pr = np.where(base > 0, ii, UNDEF)
+        best = int(np.argmax(cand))   # first maximum (reference order)
+        score[j] = cand[best]
+        prev[j] = pr[best]
+        if prev[j] == UNDEF:
+            first[j] = j
+        else:
+            first[j] = first[prev[j]]
+
+    # right-maximal chains (isrightmaximallocalchain)
+    rightmax = np.ones(n, bool)
+    rightmax[:-1] = prev[1:] != np.arange(n - 1)
+
+    def tgap(j):
+        return int(tg[j]) if gc else 0
+
+    def retrace(j):
+        out = []
+        while j != UNDEF:
+            out.append(j)
+            j = int(prev[j])
+        return np.array(out[::-1], np.int64)
+
+    chains: list[np.ndarray] = []
+    scores: list[int] = []
+    if n == 0:
+        return Chains(chains, scores, mt)
+    if n == 1:
+        sc = int(w[0]) - ((int(ig[0]) + int(tg[0])) if gc else 0)
+        return Chains([np.array([0])], [sc], mt)
+
+    # threshold per mode
+    rm = np.flatnonzero(rightmax)
+    eff = score[rm] - np.array([tgap(j) for j in rm])
+    if mode.kind == GLOBAL:
+        # findmaximalscores GLOBALCHAINING: minscore = the score of
+        # the sweep dictionary's maximum (== global max score), then
+        # ALL right-maximal chains reaching it are emitted
+        minscore = int(score.max())
+    elif mode.kind in (GLOBALGC, GLOBALOV, LOCALMAX):
+        if rm.size == 0:
+            return Chains(chains, scores, mt)
+        minscore = int(eff.max())
+    elif mode.kind == LOCALTHRESH:
+        minscore = mode.minscore
+    elif mode.kind == LOCALBEST:
+        if rm.size == 0:
+            return Chains(chains, scores, mt)
+        k = min(mode.howmanybest, rm.size)
+        minscore = int(np.sort(eff)[::-1][k - 1])
+    else:  # LOCALPERCENT
+        if rm.size == 0:
+            return Chains(chains, scores, mt)
+        minscore = int(eff.max() * (1.0 - mode.percentaway / 100.0))
+
+    # local equivalence classes: best right-maximal score per
+    # chain-start class (determineequivreps)
+    classbest: dict[int, int] = {}
+    if local:
+        for j in rm:
+            f = int(first[j])
+            sc = int(score[j]) - tgap(j)
+            if f not in classbest or classbest[f] < sc:
+                classbest[f] = sc
+
+    taken: set[int] = set()
+    for j in rm:
+        sc = int(score[j]) - tgap(j)
+        if sc < minscore:
+            continue
+        if local:
+            f = int(first[j])
+            if f in taken or classbest.get(f) != sc:
+                continue
+            taken.add(f)
+        chains.append(retrace(int(j)))
+        scores.append(sc)
+    return Chains(chains, scores, mt)
