@@ -62,3 +62,33 @@ def test_query_extension_parity(indexes, task):
     ours = run_ours(task + ["-q", qpath, str(tmp / "ours")],
                     cwd=str(tmp))
     assert sorted(body(ref)) == sorted(body(ours))
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-exdrop", "2", "-l", "40"],
+    ["-exdrop", "4", "-l", "35"],
+    ["-hxdrop", "3", "-l", "35"],
+    ["-exdrop", "3", "-l", "40", "-seedlength", "25"],
+])
+def test_self_xdrop_parity(indexes, task):
+    """x-drop extended repeats (xdrop.gen, xdropext.c)."""
+    tmp, _ = indexes
+    ref = run_ref(task + [str(tmp / "ref")])
+    ours = run_ours(task + [str(tmp / "ours")], cwd=str(tmp))
+    assert sorted(body(ref)) == sorted(body(ours))
+    assert len(body(ref)) > 0
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-exdrop", "4", "-l", "35"],
+    ["-hxdrop", "2", "-l", "30"],
+    ["-exdrop", "3", "-l", "35", "-p", "-d"],
+])
+def test_query_xdrop_parity(indexes, task):
+    tmp, qpath = indexes
+    ref = run_ref(task + ["-q", qpath, str(tmp / "ref")])
+    ours = run_ours(task + ["-q", qpath, str(tmp / "ours")],
+                    cwd=str(tmp))
+    assert sorted(body(ref)) == sorted(body(ours))

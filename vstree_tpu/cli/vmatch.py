@@ -31,6 +31,7 @@ from ..engine.gextend import (
 )
 from ..engine.query import find_query_matches
 from ..engine.repeats import find_maximal_pairs, find_tandems
+from ..engine.xdrop import xdrop_extend_seeds
 from ..engine.supermax import find_supermax
 from ..index.io import read_index
 from ..engine.match import FLAGPALINDROMIC as _FLAGPAL
@@ -186,6 +187,15 @@ def run(argv: list[str], out=None) -> int:
             print(line, file=out)
         return 0
 
+    # -exdrop/-hxdrop: reference stores -hxdrop negated
+    # (parsevm.c:974-992); seedlength defaults to 30 for xdrop tasks
+    # (matchlenparm.c:4,40-44)
+    xdrop = None
+    if opts.get("exdrop") is not None:
+        xdrop = opts["exdrop"]
+    elif opts.get("hxdrop") is not None:
+        xdrop = -opts["hxdrop"]
+
     if not opts["q"]:
         # self-match tasks
         if opts["supermax"]:
@@ -204,10 +214,19 @@ def run(argv: list[str], out=None) -> int:
             raw = find_tandems(esa, opts["l"])
             mt = process_final(raw, ms, ev, mp)
             return finish(mt, raw=raw)
-        if opts["l"] is not None:
+        if opts["l"] is not None or xdrop is not None:
             k_h = opts.get("h")
             k_e = opts.get("e")
-            if k_h is not None or k_e is not None:
+            if xdrop is not None:
+                # x-drop seed extension (fself.c:157-173 ->
+                # xdropseedextend); seeds are maximal pairs of length
+                # >= seedlength (default 30)
+                seedlength = opts.get("seedlength") or 30
+                seeds = find_maximal_pairs(esa, seedlength)
+                sq = Seqs(ms.sequence, ms.sequence)
+                mt = xdrop_extend_seeds(sq, seeds, xdrop, seedlength,
+                                        querycompare=False)
+            elif k_h is not None or k_e is not None:
                 # approximate repeats: exact seeds + greedy extension
                 # (fself.c:95 -> extendgen.c callgenericextend)
                 k = k_e if k_e is not None else k_h
@@ -281,10 +300,10 @@ def run(argv: list[str], out=None) -> int:
         allmt = process_final(allmt, ms, ev, mp, query=query)
         return finish(allmt, query=query, raw=raw)
 
-    if opts["l"] is not None:
+    if opts["l"] is not None or xdrop is not None:
         # substring matching: MEMs / MUM candidates / MUMs
         # (reference runquery.c:71-353 -> fquery.c findquerymatches),
-        # optionally seed-extended for -e/-h
+        # optionally seed-extended for -e/-h/-exdrop/-hxdrop
         if opts["mum"]:
             mode = "mumcand" if opts.get("mumcand") else "mum"
         else:
@@ -294,6 +313,13 @@ def run(argv: list[str], out=None) -> int:
         k = k_e if k_e is not None else k_h
 
         def run_q(q, flags):
+            if xdrop is not None:
+                seedlength = opts.get("seedlength") or 30
+                seeds = find_query_matches(esa, q, seedlength, "mem",
+                                           flags_extra=flags)
+                sq = Seqs(ms.sequence, q.sequence)
+                return xdrop_extend_seeds(sq, seeds, xdrop, seedlength,
+                                          querycompare=True)
             if k is None:
                 return find_query_matches(esa, q, opts["l"], mode,
                                           flags_extra=flags)
