@@ -275,6 +275,15 @@ def run(argv: list[str], out=None) -> int:
                 q.sequence[slice(*q.seq_bounds(i))]
                 for i in range(q.numofsequences)
             ]
+            if opts["online"]:
+                from ..engine.online import online_complete_matches
+
+                kind = ("edit" if k_e is not None
+                        else "hamming" if k_h is not None else "exact")
+                return online_complete_matches(
+                    esa, ps, k_e if k_e is not None else (k_h or 0),
+                    kind, flags_extra=flags, query_starts=starts,
+                )
             if k_e is not None:
                 return approx_complete_matches(
                     esa, ps, k_e, edit=True, flags_extra=flags,

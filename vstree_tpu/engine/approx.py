@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.chardef import SEPARATOR
+from ..core.chardef import SEPARATOR, WILDCARD
 from ..index.esa import ESA
 from .complete import exact_interval_lookup
 from .match import FLAGCOMPLETEMATCH, FLAGQUERY, MatchTable
@@ -64,7 +64,12 @@ def _all_piece_candidates(
     brute_q = []
     for qi, pat in enumerate(patterns):
         plen = pat.size
-        if (pat >= 250).any():
+        if (pat >= 250).any() and plen <= 64:
+            # short special-containing patterns: the esaapm scan is
+            # byte-permissive, emulate with all-starts verification;
+            # long ones go through splitesaapm's exact piece search
+            # where special pieces simply never match
+            # (splitesaapm.c:388-464)
             brute_q.append(qi)
             continue
         parts = k + 1
@@ -224,6 +229,167 @@ def _verify_edit(text, cand, qidx, eqs, plens, w: int, maxlen: int, n: int):
 
 
 # ---------------------------------------------------------------------------
+# splitesaapm replication for long edit patterns (splitesaapm.c)
+# ---------------------------------------------------------------------------
+
+
+def _getoptsplit(numofchars: int, textlen: int, plen: int, k: int,
+                 spliterrorbound: int = 10) -> int:
+    """getoptsplit (splitesaapm.c:316-352), edit-distance branch."""
+    import math
+
+    if k * spliterrorbound >= plen:
+        optsplit = k
+    else:
+        ratio = math.log(textlen) / math.log(max(numofchars, 2))
+        optsplit = int((plen + k) / ratio)
+        if optsplit > k + 1:
+            optsplit = k + 1
+    while plen > 32 * optsplit:
+        optsplit += 1
+    return optsplit
+
+
+def _eqs_matrix(patterns: list[np.ndarray], maxlen: int) -> np.ndarray:
+    """GETEQS-rule masks (pattern WILDCARD bits dropped,
+    kurtz-basic/getEqs.gen)."""
+    w = (maxlen + 31) // 32
+    eqs = np.zeros((len(patterns), w, 256), np.uint32)
+    for qi, p in enumerate(patterns):
+        for i, c in enumerate(p):
+            if int(c) >= WILDCARD:
+                continue
+            eqs[qi, i // 32, int(c)] |= np.uint32(1 << (i % 32))
+    return eqs
+
+
+def _esaapm_starts(esa: ESA, patterns: list[np.ndarray], k: int):
+    """Start positions with Eq-adjusted min edit distance <= k
+    (exact esaapm semantics, for patterns <= 32 chars): pigeonhole
+    candidates + batched Myers verification.  Returns (qidx, pos)."""
+    n = esa.totallength
+    plens = np.array([p.size for p in patterns], np.int32)
+    if k == 0:
+        qidx_l, pos_l = [], []
+        valid = [qi for qi, p in enumerate(patterns)
+                 if not (p >= 250).any()]
+        if valid:
+            maxlen = int(max(plens[qi] for qi in valid))
+            pats = np.full((len(valid), maxlen), -1, np.int32)
+            pl = np.zeros(len(valid), np.int32)
+            for i, qi in enumerate(valid):
+                pats[i, : plens[qi]] = patterns[qi].astype(np.int32)
+                pl[i] = plens[qi]
+            lo, hi = exact_interval_lookup(esa, pats, pl)
+            for i, qi in enumerate(valid):
+                if hi[i] > lo[i]:
+                    occ = esa.suftab[lo[i] : hi[i]].astype(np.int64)
+                    qidx_l.append(np.full(occ.size, qi, np.int64))
+                    pos_l.append(occ)
+        if not qidx_l:
+            z = np.zeros(0, np.int64)
+            return z, z
+        return np.concatenate(qidx_l), np.concatenate(pos_l)
+    qidx, pos = _all_piece_candidates(esa, patterns, k, shifted=True)
+    ok = pos <= n - (plens[qidx].astype(np.int64) - k)
+    qidx, pos = qidx[ok], pos[ok]
+    if pos.size == 0:
+        return qidx, pos
+    maxlen = int(plens.max())
+    w = (maxlen + 31) // 32
+    eqs = _eqs_matrix(patterns, maxlen)
+    minsc, _, _ = _verify_edit(
+        esa.device("text"), jnp.asarray(pos, dtype=jnp.int32),
+        jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(eqs),
+        jnp.asarray(plens), w, maxlen + k, n)
+    okv = np.asarray(minsc) <= k
+    return qidx[okv], pos[okv]
+
+
+def _split_esaapm_detect(
+    esa: ESA, patterns: list[np.ndarray], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Detection for edit patterns > 32 chars, replaying splitesaapm
+    (splitesaapm.c:465-558): cost-model piece split, approximate
+    piece search, region merge, and the per-region Ukkonen-cutoff
+    verification scan (byte-equality with the threshold-write
+    shortcut).  Returns (qidx, pos) of emitted start positions."""
+    from .online import _ukkonen_cutoff_scan
+
+    n = esa.totallength
+    B = len(patterns)
+    plens = np.array([p.size for p in patterns], np.int32)
+    numofchars = esa.alpha.mapsize - 1
+
+    # 1. piece search -> candidate regions per query
+    piece_pats: list[np.ndarray] = []
+    piece_meta: list[tuple[int, int, int]] = []   # (qi, poffset, thr)
+    for qi, p in enumerate(patterns):
+        plen = int(plens[qi])
+        splitsize = _getoptsplit(numofchars, n, plen, k)
+        splitlen = plen // splitsize
+        splitthr = k // splitsize
+        poffset = 0
+        while poffset < plen - splitlen + 1:
+            piece_pats.append(p[poffset : poffset + splitlen])
+            piece_meta.append((qi, poffset, splitthr))
+            poffset += splitlen
+    by_thr: dict[int, list[int]] = {}
+    for i, (_, _, t) in enumerate(piece_meta):
+        by_thr.setdefault(t, []).append(i)
+    regions: dict[int, list[tuple[int, int]]] = {qi: [] for qi in
+                                                 range(B)}
+    for t, idxs in by_thr.items():
+        sub = [piece_pats[i] for i in idxs]
+        pq, pp = _esaapm_starts(esa, sub, t)
+        for j in range(pq.size):
+            i = idxs[int(pq[j])]
+            qi, poffset, _ = piece_meta[i]
+            h = int(pp[j])
+            # storeapmposition (splitesaapm.c:270-296) with
+            # regionoffsetstart=k+poffset, end=plen+k-poffset
+            u0 = max(0, h - (k + poffset))
+            u1 = min(n - 1, h + int(plens[qi]) + k - poffset - 1)
+            regions[qi].append((u0, u1))
+
+    # 2. merge overlapping/adjacent regions (regionsmerger.c)
+    resets = np.zeros((n, B), bool)       # reversed-text order
+    inreg = np.zeros((n, B), bool)
+    any_region = False
+    merged: dict[int, list[tuple[int, int]]] = {}
+    for qi, rs in regions.items():
+        if not rs:
+            continue
+        rs.sort()
+        out = [list(rs[0])]
+        for u0, u1 in rs[1:]:
+            if u0 <= out[-1][1] + 1:
+                out[-1][1] = max(out[-1][1], u1)
+            else:
+                out.append([u0, u1])
+        merged[qi] = [(a, b) for a, b in out]
+        any_region = True
+        for a, b in out:
+            resets[n - 1 - b, qi] = True
+            inreg[n - 1 - b : n - a, qi] = True
+    if not any_region:
+        z = np.zeros(0, np.int64)
+        return z, z
+
+    # 3. per-region cutoff verification, batched
+    M = int(plens.max())
+    patrev = np.full((B, M + 2), -7, np.int32)
+    for qi, p in enumerate(patterns):
+        patrev[qi, 1 : plens[qi] + 1] = p[::-1].astype(np.int32)
+    emits = np.asarray(_ukkonen_cutoff_scan(
+        jnp.asarray(esa.multiseq.sequence[::-1].copy()),
+        jnp.asarray(patrev), jnp.asarray(plens), M, k,
+        resets=jnp.asarray(resets), inregion=jnp.asarray(inreg)))
+    jrev, qidx = np.nonzero(emits)
+    return qidx.astype(np.int64), (n - 1 - jrev).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # top level (hammingprocessstartpos / edistprocessstartpos,
 # approxcompl.c:13-80)
 # ---------------------------------------------------------------------------
@@ -257,32 +423,47 @@ def approx_complete_matches(
     for i, p in enumerate(query):
         patmat[i, : p.size] = p.astype(np.int32)
 
-    qidx, pos = _all_piece_candidates(esa, query, k, shifted=edit)
-    if edit:
-        ok_pre = pos <= n - (plens_np[qidx].astype(np.int64) - k)
-    else:
-        ok_pre = pos + plens_np[qidx] <= n
-    qidx, pos = qidx[ok_pre], pos[ok_pre]
-    if pos.size == 0:
-        return MatchTable()
-
     d_text = esa.device("text")
     d_pl = jnp.asarray(plens_np)
     if edit:
+        # detection follows the reference routing: <= 32 chars via
+        # the exact esaapm semantics, > 32 via the splitesaapm
+        # region pipeline (ISLARGEPATTERN4, dpbitvec48.h)
+        short_q = np.flatnonzero(plens_np <= 32)
+        long_q = np.flatnonzero(plens_np > 32)
+        qp: list[np.ndarray] = []
+        pp: list[np.ndarray] = []
+        if short_q.size:
+            sq, sp = _esaapm_starts(
+                esa, [query[qi] for qi in short_q], k)
+            qp.append(short_q[sq].astype(np.int64))
+            pp.append(sp)
+        if long_q.size:
+            lq, lp = _split_esaapm_detect(
+                esa, [query[qi] for qi in long_q], k)
+            qp.append(long_q[lq].astype(np.int64))
+            pp.append(lp)
+        qidx = np.concatenate(qp) if qp else np.zeros(0, np.int64)
+        pos = np.concatenate(pp) if pp else np.zeros(0, np.int64)
+        if pos.size == 0:
+            return MatchTable()
+        # measurement (edistprocessstartpos -> longestmatch.c) with
+        # the GETEQS rule: pattern WILDCARDs never match
         w = (maxplen + 31) // 32
-        eqs = np.zeros((B, w, 256), np.uint32)
-        for qi, p in enumerate(query):
-            for i, c in enumerate(p):
-                eqs[qi, i // 32, int(c)] |= np.uint32(1 << (i % 32))
-        minsc, bestlen, bestsc = _verify_edit(
+        eqs = _eqs_matrix(query, maxplen)
+        _, bestlen, bestsc = _verify_edit(
             d_text, jnp.asarray(pos, dtype=jnp.int32),
             jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(eqs),
             d_pl, w, maxplen + k, n,
         )
-        okv = np.asarray(minsc) <= k
         lens = np.asarray(bestlen).astype(np.int64)
         dist = np.asarray(bestsc).astype(np.int64)
     else:
+        qidx, pos = _all_piece_candidates(esa, query, k, shifted=False)
+        ok_pre = pos + plens_np[qidx] <= n
+        qidx, pos = qidx[ok_pre], pos[ok_pre]
+        if pos.size == 0:
+            return MatchTable()
         okh, mm = _verify_hamming(
             d_text, jnp.asarray(pos, dtype=jnp.int32),
             jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(patmat),
@@ -290,13 +471,10 @@ def approx_complete_matches(
         )
         mm = np.asarray(mm)
         okv = np.asarray(okh) & (mm <= k)
+        qidx = qidx[okv]
+        pos = pos[okv]
         lens = plens_np[qidx].astype(np.int64)
-        dist = -mm.astype(np.int64)
-
-    qidx = qidx[okv]
-    pos = pos[okv]
-    lens = lens[okv]
-    dist = dist[okv]
+        dist = -mm[okv].astype(np.int64)
     if pos.size == 0:
         return MatchTable()
     order = np.lexsort((esa.stitab[pos], qidx))
