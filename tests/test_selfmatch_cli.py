@@ -93,3 +93,39 @@ def test_supermax_emission_order(indexes):
     our_b = [l for l in ours.splitlines() if not l.startswith("#")]
     assert ref_b == our_b
     assert len(ref_b) > 0
+
+
+@pytest.fixture(scope="module")
+def dbq_indexes(tmp_path_factory):
+    """Indexes built over db + query files (mkvtree -q) for the
+    indexed-query self tasks (fmumself.c, fself.c:33-36)."""
+    tmp = tmp_path_factory.mktemp("mumself")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    db = os.path.join(TESTDATA, "at100K1")
+    q = os.path.join(TESTDATA, "U89959.fna")
+    subprocess.run(
+        [MKVTREE, "-db", db, "-q", q, "-dna", "-pl", "-allout",
+         "-indexname", str(tmp / "ref_dbq")],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [sys.executable, "-m", "vstree_tpu.cli.mkvtree", "-db", db,
+         "-q", q, "-dna", "-pl", "-allout",
+         "-indexname", str(tmp / "our_dbq")],
+        check=True, capture_output=True, env=env, cwd=str(tmp),
+    )
+    return tmp
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-mum", "-l", "15"],
+    ["-mum", "-l", "20", "-absolute"],
+    ["-l", "20"],          # crossing filter (fself.c:33-36)
+    ["-l", "30", "-e", "3"],
+])
+def test_mumself_and_crossing_parity(dbq_indexes, task):
+    tmp = dbq_indexes
+    ref = run_ref(task + [str(tmp / "ref_dbq")])
+    ours = run_ours(task + [str(tmp / "our_dbq")], cwd=str(tmp))
+    assert body_sorted(ref) == body_sorted(ours)

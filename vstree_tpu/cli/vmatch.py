@@ -196,12 +196,30 @@ def run(argv: list[str], out=None) -> int:
     elif opts.get("hxdrop") is not None:
         xdrop = -opts["hxdrop"]
 
+    has_iq = ms.numofquerysequences > 0
+
+    def _cross_filter(mt):
+        """CHECKEXCLUSION (fself.c:33-36): on an index with indexed
+        queries, keep only self pairs straddling the db/query
+        separator."""
+        if not has_iq or len(mt) == 0:
+            return mt
+        qsep = ms.database_length
+        return mt.select(
+            (mt.position1 < qsep) & (mt.position2 > qsep)
+        )
+
     if not opts["q"]:
         # self-match tasks
         if opts["supermax"]:
             if opts["l"] is None:
                 raise SystemExit(
                     "vmatch: option -supermax requires option -l"
+                )
+            if has_iq:
+                raise SystemExit(
+                    "vmatch: supermaximal repeat search does not "
+                    "allow query files in index"
                 )
             raw = find_supermax(esa, opts["l"])
             mt = process_final(raw, ms, ev, mp)
@@ -211,7 +229,28 @@ def run(argv: list[str], out=None) -> int:
                 raise SystemExit(
                     "vmatch: option -tandem requires option -l"
                 )
+            if has_iq:
+                raise SystemExit(
+                    "vmatch: tandem repeat search does not allow "
+                    "query files in index"
+                )
             raw = find_tandems(esa, opts["l"])
+            mt = process_final(raw, ms, ev, mp)
+            return finish(mt, raw=raw)
+        if opts["mum"]:
+            # self variant: maximal unique matches between the
+            # database and indexed-query regions (fmumself.c)
+            if opts.get("mumcand"):
+                raise SystemExit(
+                    "vmatch: option -mum cand also requires option -q"
+                )
+            if opts["l"] is None:
+                raise SystemExit(
+                    "vmatch: option -mum requires option -l"
+                )
+            from ..engine.mumself import find_mum_self
+
+            raw = find_mum_self(esa, opts["l"])
             mt = process_final(raw, ms, ev, mp)
             return finish(mt, raw=raw)
         if opts["l"] is not None or xdrop is not None:
@@ -222,7 +261,7 @@ def run(argv: list[str], out=None) -> int:
                 # xdropseedextend); seeds are maximal pairs of length
                 # >= seedlength (default 30)
                 seedlength = opts.get("seedlength") or 30
-                seeds = find_maximal_pairs(esa, seedlength)
+                seeds = _cross_filter(find_maximal_pairs(esa, seedlength))
                 sq = Seqs(ms.sequence, ms.sequence)
                 mt = xdrop_extend_seeds(sq, seeds, xdrop, seedlength,
                                         querycompare=False)
@@ -232,7 +271,7 @@ def run(argv: list[str], out=None) -> int:
                 k = k_e if k_e is not None else k_h
                 seedlength = max(opts.get("seedlength") or 0,
                                  opts["l"] // (k + 1))
-                seeds = find_maximal_pairs(esa, seedlength)
+                seeds = _cross_filter(find_maximal_pairs(esa, seedlength))
                 sq = Seqs(ms.sequence, ms.sequence)
                 if k_e is not None:
                     mt = edit_extend_seeds(
@@ -243,7 +282,7 @@ def run(argv: list[str], out=None) -> int:
                         sq, ev, seeds, k, opts["l"], seedlength,
                         querycompare=False)
             else:
-                mt = find_maximal_pairs(esa, opts["l"])
+                mt = _cross_filter(find_maximal_pairs(esa, opts["l"]))
             raw = mt
             mt = process_final(mt, ms, ev, mp)
             return finish(mt, raw=raw)

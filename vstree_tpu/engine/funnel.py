@@ -163,6 +163,13 @@ def process_final(
         mt.relpos2 = mt.relpos2.copy()
         mt.seqnum2[notq] = s2
         mt.relpos2[notq] = r2
+        if ms.numofquerysequences > 0:
+            # convertthematch (procfinal.c:462-476): self matches on
+            # an index with indexed queries report instance 2 in
+            # query-local numbering
+            mt.position2 = mt.position2.copy()
+            mt.seqnum2[notq] -= ms.num_db_sequences
+            mt.position2[notq] -= ms.database_length + 1
     # fetchpositions: palindromic query matches report coordinates in
     # the original (non-RC) orientation (procfinal.c:152-158)
     pal = ((mt.flag & FLAGPALINDROMIC) != 0) & ((mt.flag & FLAGQUERY) != 0)

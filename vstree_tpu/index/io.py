@@ -214,6 +214,12 @@ def read_index(
     ms.numofquerysequences = meta.get("numofquerysequences", 0)
     if os.path.exists(indexname + ".ssp") and ms.numofsequences > 1:
         ms.markpos = np.fromfile(indexname + ".ssp", _U64).astype(np.uint32)
+    if ms.numofquerysequences > 0:
+        # DATABASELENGTH needs totalquerylength (multidef.h:88-92):
+        # the query region starts right after the separator that ends
+        # the last database sequence
+        qstart = int(ms.markpos[ms.num_db_sequences - 1]) + 1
+        ms.totalquerylength = ms.totallength - qstart
     if os.path.exists(indexname + ".des"):
         with open(indexname + ".des", "rb") as fh:
             des = fh.read()
