@@ -101,6 +101,32 @@ def parse_args(argv: list[str]) -> dict:
         if key == "evalue":
             i += 1
             opts["evalue"] = float(argv[i]); i += 1; continue
+        if key in ("dbnomatch", "qnomatch"):
+            # -dbnomatch/-qnomatch N [keepflag] (parsevm.c:1023-1045)
+            i += 1
+            opts["nomatch"] = int(argv[i]); i += 1
+            opts["nomatch_markdb"] = key == "dbnomatch"
+            if key == "dbnomatch" and i < len(argv) - 1 \
+                    and argv[i] in _KEEPFLAGS:
+                opts["nomatch_keep"] = argv[i]; i += 1
+            continue
+        if key in ("dbmaskmatch", "qmaskmatch"):
+            # -dbmaskmatch/-qmaskmatch <char>|tolower|toupper
+            # [keepflag] (parsevm.c:1046-1074)
+            i += 1
+            arg = argv[i]; i += 1
+            if arg not in ("tolower", "toupper") and len(arg) != 1:
+                raise SystemExit(
+                    f'vmatch: illegal argument "{arg}" to option '
+                    f"-{key}: must be single character or the "
+                    'keywords "toupper" or "tolower"'
+                )
+            opts["maskchar"] = arg
+            opts["mask_markdb"] = key == "dbmaskmatch"
+            if key == "dbmaskmatch" and i < len(argv) - 1 \
+                    and argv[i] in _KEEPFLAGS:
+                opts["mask_keep"] = argv[i]; i += 1
+            continue
         if key in ("s", "sort", "showdesc", "selfun", "f"):
             if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
                     and i + 1 < len(argv) - 1:
@@ -112,6 +138,12 @@ def parse_args(argv: list[str]) -> dict:
     if opts["index"] is None:
         raise SystemExit("vmatch: the last argument must be the index name")
     return opts
+
+
+_KEEPFLAGS = (
+    "keepleft", "keepright", "keepleftifsamesequence",
+    "keeprightifsamesequence",
+)
 
 
 def _is_number(s: str) -> bool:
@@ -146,15 +178,99 @@ def run(argv: list[str], out=None) -> int:
     if opts["noidentity"]:
         showmode |= SHOWNOIDENTITY
 
-    print(argument_header(argv[:-1], opts["index"]), file=out)
+    if opts.get("maskchar") is None:
+        # masking mode replaces the match funnel output entirely,
+        # including the argument header (initpost.c markermaskmatchout)
+        print(argument_header(argv[:-1], opts["index"]), file=out)
 
     digits = assign_virtual_digits(ms)
 
     if opts["sort"] is not None and opts["best"] is None:
         raise SystemExit("vmatch: option -sort requires option -best")
 
+    def _mark_and_emit(mt, query):
+        """-dbnomatch/-qnomatch/-dbmaskmatch/-qmaskmatch output path
+        (initpost.c:25-269, markmat.c, nomatch.c, showmasked.c)."""
+        from ..postprocess.mask import (
+            Markfields,
+            init_marktable,
+            mark_matches,
+            show_masked_seq,
+            show_nomatch,
+        )
+
+        nomatch = opts.get("nomatch")
+        mf = Markfields(
+            markdb=opts.get(
+                "nomatch_markdb" if nomatch is not None else "mask_markdb",
+                True,
+            )
+        )
+        keep = opts.get(
+            "nomatch_keep" if nomatch is not None else "mask_keep"
+        )
+        if keep:
+            mf.parse_keepflag(
+                keep,
+                "-dbnomatch" if nomatch is not None else "-dbmaskmatch",
+            )
+        selfmatch = not opts["q"]
+        iscomplete = bool(opts["complete"])
+        has_iq2 = ms.numofquerysequences > 0
+        # DATABASELENGTH macro subtracts the separator slot
+        # unconditionally (multidef.h:91-92)
+        dblen_ref = ms.totallength - ms.totalquerylength - 1
+        if selfmatch:
+            if not mf.markdb and not has_iq2:
+                which = "-qnomatch" if nomatch is not None \
+                    else "-qmaskmatch"
+                raise SystemExit(
+                    f"vmatch: option {which} requires index containing "
+                    "query sequences or option -q"
+                )
+            msmark = ms
+        else:
+            msmark = ms if (iscomplete or mf.markdb) else query
+        bits = init_marktable(msmark)
+        mark_matches(
+            bits, mt, mf,
+            has_no_query_files=selfmatch,
+            vms_has_indexed_queries=has_iq2,
+            database_length=dblen_ref,
+        )
+        if nomatch is not None:
+            if selfmatch:
+                if mf.markdb:
+                    posoffset, length = 0, dblen_ref
+                else:
+                    posoffset = dblen_ref + 1
+                    length = ms.totalquerylength
+                msref = ms
+            else:
+                msref = msmark
+                posoffset, length = 0, msref.totallength
+            show_nomatch(bits, msref, posoffset, length, nomatch,
+                         absolute=opts["absolute"], out=out)
+        else:
+            if mf.markdb:
+                show_masked_seq(ms, bits, opts["maskchar"], out=out)
+            else:
+                if selfmatch:
+                    raise SystemExit(
+                        "vmatch: maskmatch for query sequence in "
+                        "index not implemented"
+                    )
+                chars = bytes(esa.alpha.characters) \
+                    if msmark.originalsequence is None else None
+                show_masked_seq(msmark, bits, opts["maskchar"],
+                                characters=chars, out=out)
+        return 0
+
     def finish(mt, query=None, raw=None):
         """preinfo (-i), best-k (-best [+ -sort]), render."""
+        if opts.get("nomatch") is not None or \
+                opts.get("maskchar") is not None:
+            return _mark_and_emit(mt, query)
         if opts["i"]:
             # match-count distribution (vmatcount.c via distri.c):
             # histogram of match lengths, engine output pre-filter
