@@ -80,6 +80,29 @@ def argument_header(
     return "# args=" + pieces + index_path
 
 
+_BASIC_SKIP = (
+    "-s", "-sort", "-selfun", "-best", "-dbcluster", "-qspeedup",
+    "-pp", "-nonredundant",
+)
+
+
+def basic_args(args: list[str]) -> list[str]:
+    """Strip display/postprocessing options and their operands from an
+    argument vector (SKIPSOMEARGS, procargs.c:14-29) — used for the
+    `# args=` header of derived match files."""
+    out: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] in _BASIC_SKIP:
+            i += 1
+            while i < len(args) and not args[i].startswith("-"):
+                i += 1
+            continue
+        out.append(args[i])
+        i += 1
+    return out
+
+
 def format_evalue(v: float) -> str:
     """`%.2e` with the extra-space quirk (echomatch.c:955-960):
     values >= 1e-99 or == 0 get a leading space (their exponent
