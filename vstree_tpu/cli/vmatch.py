@@ -127,7 +127,31 @@ def parse_args(argv: list[str]) -> dict:
                     and argv[i] in _KEEPFLAGS:
                 opts["mask_keep"] = argv[i]; i += 1
             continue
-        if key in ("s", "sort", "showdesc", "selfun", "f"):
+        if key == "s":
+            # parsesequenceoutparms (Vmatch/optstring.c:62-108): up to
+            # two optional args: a line width and/or a display keyword
+            from ..output import align as _al
+
+            showstring = _al.DEFAULTLINEWIDTH
+            nopt = 0
+            while (nopt < 2 and i + 1 < len(argv) - 1
+                   and not argv[i + 1].startswith("-")):
+                ret = _parse_s_arg(argv[i + 1])
+                if ret & _al.MAXLINEWIDTH:
+                    if nopt == 0:
+                        showstring = ret
+                    else:
+                        showstring = (
+                            showstring
+                            & (_al.SHOWPURELEFTSEQ | _al.SHOWPURERIGHTSEQ)
+                        ) | ret
+                else:
+                    showstring |= ret
+                i += 1
+                nopt += 1
+            opts["s"] = showstring
+            i += 1; continue
+        if key in ("sort", "showdesc", "selfun", "f"):
             if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
                     and i + 1 < len(argv) - 1:
                 opts[key] = argv[i + 1]; i += 1
@@ -144,6 +168,37 @@ _KEEPFLAGS = (
     "keepleft", "keepright", "keepleftifsamesequence",
     "keeprightifsamesequence",
 )
+
+
+def _parse_s_arg(arg: str) -> int:
+    """parseoptstringargs (Vmatch/optstring.c:15-56)."""
+    from ..output import align as _al
+
+    if arg[:1].isdigit():
+        try:
+            v = int(arg)
+        except ValueError:
+            v = 0
+        if not (0 < v <= _al.MAXLINEWIDTH):
+            raise SystemExit(
+                f'vmatch: argument "{arg}" of option -s must be number '
+                f"in the range [1...{_al.MAXLINEWIDTH}]"
+            )
+        return v
+    kw = {
+        "leftseq": _al.SHOWPURELEFTSEQ,
+        "rightseq": _al.SHOWPURERIGHTSEQ,
+        "abbrev": _al.SHOWALIGNABBREV,
+        "abbreviub": _al.SHOWALIGNABBREVIUB,
+        "xml": _al.SHOWVMATCHXML,
+    }
+    if arg in kw:
+        return kw[arg]
+    raise SystemExit(
+        f'vmatch: incorrect argument "{arg}" to option -s '
+        "must be one of the following keywords: "
+        "leftseq, rightseq, abbrev, abbreviub"
+    )
 
 
 def _is_number(s: str) -> bool:
@@ -299,7 +354,29 @@ def run(argv: list[str], out=None) -> int:
                 mt, _ = remove_contained(mt)
                 if opts["sort"] != "ia":
                     mt = sort_matches(mt, opts["sort"])
-        for line in render_matches(mt, ms, digits, showmode, query):
+        lines = render_matches(mt, ms, digits, showmode, query)
+        if opts["s"] is not None:
+            # echomatch2file with showstring > 0 (echomatch.c:1036-1086):
+            # row, newline, alignment text, newline
+            from ..output.align import echo_string_output
+
+            for k, line in enumerate(lines):
+                out.write(line + "\n")
+                row = {
+                    "position1": int(mt.position1[k]),
+                    "length1": int(mt.length1[k]),
+                    "position2": int(mt.position2[k]),
+                    "length2": int(mt.length2[k]),
+                    "distance": int(mt.distance[k]),
+                    "flag": int(mt.flag[k]),
+                    "relpos1": int(mt.relpos1[k]),
+                    "relpos2": int(mt.relpos2[k]),
+                    "xdropscore": xdrop,
+                }
+                out.write(echo_string_output(row, ms, query, opts["s"]))
+                out.write("\n")
+            return 0
+        for line in lines:
             print(line, file=out)
         return 0
 

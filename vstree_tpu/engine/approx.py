@@ -234,15 +234,18 @@ def _verify_edit(text, cand, qidx, eqs, plens, w: int, maxlen: int, n: int):
 
 
 def _getoptsplit(numofchars: int, textlen: int, plen: int, k: int,
+                 doedist: bool = True,
                  spliterrorbound: int = 10) -> int:
-    """getoptsplit (splitesaapm.c:316-352), edit-distance branch."""
+    """getoptsplit (splitesaapm.c:316-352): the cost-model split size
+    deciding between the direct esaapm/esahamming rank scan
+    (splitsize == 1) and the piece-search region pipeline."""
     import math
 
     if k * spliterrorbound >= plen:
         optsplit = k
     else:
         ratio = math.log(textlen) / math.log(max(numofchars, 2))
-        optsplit = int((plen + k) / ratio)
+        optsplit = int(((plen + k) if doedist else plen) / ratio)
         if optsplit > k + 1:
             optsplit = k + 1
     while plen > 32 * optsplit:
@@ -306,14 +309,44 @@ def _esaapm_starts(esa: ESA, patterns: list[np.ndarray], k: int):
     return qidx[okv], pos[okv]
 
 
-def _split_esaapm_detect(
-    esa: ESA, patterns: list[np.ndarray], k: int
+def _hamming_starts(esa: ESA, patterns: list[np.ndarray], k: int):
+    """Start positions with <= k mismatches over the whole pattern
+    (exact esahamming result set).  Pigeonhole candidates + batched
+    verification.  Returns (qidx, pos, mm), unordered."""
+    n = esa.totallength
+    plens = np.array([p.size for p in patterns], np.int32)
+    qidx, pos = _all_piece_candidates(esa, patterns, k, shifted=False)
+    ok_pre = pos + plens[qidx] <= n
+    qidx, pos = qidx[ok_pre], pos[ok_pre]
+    z = np.zeros(0, np.int64)
+    if pos.size == 0:
+        return z, z, z
+    maxplen = int(plens.max())
+    patmat = np.full((len(patterns), maxplen), -2, np.int32)
+    for i, p in enumerate(patterns):
+        patmat[i, : p.size] = p.astype(np.int32)
+    okh, mm = _verify_hamming(
+        esa.device("text"), jnp.asarray(pos, dtype=jnp.int32),
+        jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(patmat),
+        jnp.asarray(plens), maxplen, n,
+    )
+    mm = np.asarray(mm)
+    okv = np.asarray(okh) & (mm <= k)
+    return qidx[okv], pos[okv], mm[okv].astype(np.int64)
+
+
+def _region_detect(
+    esa: ESA, patterns: list[np.ndarray], k: int, doedist: bool
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Detection for edit patterns > 32 chars, replaying splitesaapm
-    (splitesaapm.c:465-558): cost-model piece split, approximate
-    piece search, region merge, and the per-region Ukkonen-cutoff
-    verification scan (byte-equality with the threshold-write
-    shortcut).  Returns (qidx, pos) of emitted start positions."""
+    """splitesaapm replay (splitesaapm.c:380-560, splitsize > 1):
+    cost-model piece split, approximate piece search, region collect
+    + merge (kurtz/regionsmerger.c), and per-region verification.
+
+    Emission order matches the reference exactly: per query, regions
+    ascending by start (the red-black in-order walk,
+    redblacktreewalkwithstop), and inside a region start positions
+    DESCENDING (the verify functions scan each region from its end,
+    splitesaapm.c:42-240).  Returns (qidx, pos)."""
     from .online import _ukkonen_cutoff_scan
 
     n = esa.totallength
@@ -326,7 +359,7 @@ def _split_esaapm_detect(
     piece_meta: list[tuple[int, int, int]] = []   # (qi, poffset, thr)
     for qi, p in enumerate(patterns):
         plen = int(plens[qi])
-        splitsize = _getoptsplit(numofchars, n, plen, k)
+        splitsize = _getoptsplit(numofchars, n, plen, k, doedist)
         splitlen = plen // splitsize
         splitthr = k // splitsize
         poffset = 0
@@ -341,22 +374,30 @@ def _split_esaapm_detect(
                                                  range(B)}
     for t, idxs in by_thr.items():
         sub = [piece_pats[i] for i in idxs]
-        pq, pp = _esaapm_starts(esa, sub, t)
+        if doedist:
+            pq, pp = _esaapm_starts(esa, sub, t)
+        else:
+            pq, pp, _ = _hamming_starts(esa, sub, t)
         for j in range(pq.size):
             i = idxs[int(pq[j])]
             qi, poffset, _ = piece_meta[i]
             h = int(pp[j])
-            # storeapmposition (splitesaapm.c:270-296) with
-            # regionoffsetstart=k+poffset, end=plen+k-poffset
-            u0 = max(0, h - (k + poffset))
-            u1 = min(n - 1, h + int(plens[qi]) + k - poffset - 1)
+            plen = int(plens[qi])
+            # storeapmposition (splitesaapm.c:270-296): edit regions
+            # widen by the threshold, hamming regions do not
+            # (realsplitesaapm, splitesaapm.c:384-392)
+            if doedist:
+                u0 = max(0, h - (k + poffset))
+                u1 = min(n - 1, h + plen + k - poffset - 1)
+            else:
+                u0 = max(0, h - poffset)
+                u1 = min(n - 1, h + plen - poffset - 1)
             regions[qi].append((u0, u1))
 
-    # 2. merge overlapping/adjacent regions (regionsmerger.c)
-    resets = np.zeros((n, B), bool)       # reversed-text order
-    inreg = np.zeros((n, B), bool)
-    any_region = False
+    # 2. merge overlapping/adjacent regions (regionsmerger.c; the
+    # checker asserts prev.end + 1 < next.start for merged output)
     merged: dict[int, list[tuple[int, int]]] = {}
+    any_region = False
     for qi, rs in regions.items():
         if not rs:
             continue
@@ -369,24 +410,70 @@ def _split_esaapm_detect(
                 out.append([u0, u1])
         merged[qi] = [(a, b) for a, b in out]
         any_region = True
-        for a, b in out:
-            resets[n - 1 - b, qi] = True
-            inreg[n - 1 - b : n - a, qi] = True
+    z = np.zeros(0, np.int64)
     if not any_region:
-        z = np.zeros(0, np.int64)
         return z, z
 
-    # 3. per-region cutoff verification, batched
-    M = int(plens.max())
-    patrev = np.full((B, M + 2), -7, np.int32)
-    for qi, p in enumerate(patterns):
-        patrev[qi, 1 : plens[qi] + 1] = p[::-1].astype(np.int32)
-    emits = np.asarray(_ukkonen_cutoff_scan(
-        jnp.asarray(esa.multiseq.sequence[::-1].copy()),
-        jnp.asarray(patrev), jnp.asarray(plens), M, k,
-        resets=jnp.asarray(resets), inregion=jnp.asarray(inreg)))
-    jrev, qidx = np.nonzero(emits)
-    return qidx.astype(np.int64), (n - 1 - jrev).astype(np.int64)
+    qidx_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    if doedist:
+        # 3a. per-region reversed cutoff verification, batched over
+        # all queries in one scan of the reversed text
+        resets = np.zeros((n, B), bool)       # reversed-text order
+        inreg = np.zeros((n, B), bool)
+        for qi, rs in merged.items():
+            for a, b in rs:
+                resets[n - 1 - b, qi] = True
+                inreg[n - 1 - b : n - a, qi] = True
+        M = int(plens.max())
+        patrev = np.full((B, M + 2), -7, np.int32)
+        for qi, p in enumerate(patterns):
+            patrev[qi, 1 : plens[qi] + 1] = p[::-1].astype(np.int32)
+        emits = np.asarray(_ukkonen_cutoff_scan(
+            jnp.asarray(esa.multiseq.sequence[::-1].copy()),
+            jnp.asarray(patrev), jnp.asarray(plens), M, k,
+            resets=jnp.asarray(resets), inregion=jnp.asarray(inreg)))
+        for qi in range(B):
+            col = emits[:, qi]
+            for a, b in merged.get(qi, ()):
+                # reversed rows n-1-b .. n-1-a ascending = positions
+                # b .. a descending (the reference scan direction)
+                rows = np.flatnonzero(col[n - 1 - b : n - a])
+                if rows.size:
+                    qidx_parts.append(np.full(rows.size, qi, np.int64))
+                    pos_parts.append(b - rows.astype(np.int64))
+    else:
+        # 3b. hamming region verification: all window starts inside
+        # each region, verified in one batch, emitted descending
+        cand_q: list[np.ndarray] = []
+        cand_p: list[np.ndarray] = []
+        for qi in range(B):
+            plen = int(plens[qi])
+            for a, b in merged.get(qi, ()):
+                hi = b - plen + 1
+                if hi < a:
+                    continue
+                ps = np.arange(hi, a - 1, -1, dtype=np.int64)
+                cand_p.append(ps)
+                cand_q.append(np.full(ps.size, qi, np.int64))
+        if not cand_q:
+            return z, z
+        qidx = np.concatenate(cand_q)
+        pos = np.concatenate(cand_p)
+        maxplen = int(plens.max())
+        patmat = np.full((B, maxplen), -2, np.int32)
+        for i, p in enumerate(patterns):
+            patmat[i, : p.size] = p.astype(np.int32)
+        okh, mm = _verify_hamming(
+            esa.device("text"), jnp.asarray(pos, dtype=jnp.int32),
+            jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(patmat),
+            jnp.asarray(plens), maxplen, n,
+        )
+        okv = np.asarray(okh) & (np.asarray(mm) <= k)
+        return qidx[okv], pos[okv]
+    if not qidx_parts:
+        return z, z
+    return np.concatenate(qidx_parts), np.concatenate(pos_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -419,34 +506,53 @@ def approx_complete_matches(
     if edit and (plens_np <= k).any():
         raise ValueError("edit threshold must be < pattern length")
     maxplen = int(plens_np.max())
-    patmat = np.full((B, maxplen), -2, np.int32)   # -2: never equal
-    for i, p in enumerate(query):
-        patmat[i, : p.size] = p.astype(np.int32)
 
     d_text = esa.device("text")
     d_pl = jnp.asarray(plens_np)
+
+    # routing per query (findapproxcompletematchesindex ->
+    # splitesaapm, splitesaapm.c:500-560): splitsize == 1 runs the
+    # direct esaapm/esahamming rank-order scan, splitsize > 1 the
+    # piece-search region pipeline whose emission order is
+    # region-major (see _region_detect)
+    numofchars = esa.alpha.mapsize - 1
+    rank_q: list[int] = []
+    region_q: list[int] = []
+    for qi in range(B):
+        # threshold 0 falls back to the exact interval emission
+        # (findapproxcompletematchesindex, approxcompl.c:165-175)
+        ssz = 1 if k == 0 else _getoptsplit(
+            numofchars, n, int(plens_np[qi]), k, doedist=edit)
+        (rank_q if ssz == 1 else region_q).append(qi)
+
+    qp: list[np.ndarray] = []
+    pp: list[np.ndarray] = []
+    if rank_q:
+        sub = [query[qi] for qi in rank_q]
+        if edit:
+            sq, sp = _esaapm_starts(esa, sub, k)
+        else:
+            sq, sp, _ = _hamming_starts(esa, sub, k)
+        # rank-order emission (esaapm.c:296-383 / esahamming.c:86-163)
+        if sp.size:
+            order = np.lexsort((esa.stitab[sp], sq))
+            sq, sp = sq[order], sp[order]
+        qp.append(np.asarray(rank_q, np.int64)[sq])
+        pp.append(sp.astype(np.int64))
+    if region_q:
+        sub = [query[qi] for qi in region_q]
+        lq, lp = _region_detect(esa, sub, k, doedist=edit)
+        qp.append(np.asarray(region_q, np.int64)[lq])
+        pp.append(lp.astype(np.int64))
+    qidx = np.concatenate(qp) if qp else np.zeros(0, np.int64)
+    pos = np.concatenate(pp) if pp else np.zeros(0, np.int64)
+    if pos.size == 0:
+        return MatchTable()
+    # stable per-query interleave of the two groups' emissions
+    order = np.argsort(qidx, kind="stable")
+    qidx, pos = qidx[order], pos[order]
+
     if edit:
-        # detection follows the reference routing: <= 32 chars via
-        # the exact esaapm semantics, > 32 via the splitesaapm
-        # region pipeline (ISLARGEPATTERN4, dpbitvec48.h)
-        short_q = np.flatnonzero(plens_np <= 32)
-        long_q = np.flatnonzero(plens_np > 32)
-        qp: list[np.ndarray] = []
-        pp: list[np.ndarray] = []
-        if short_q.size:
-            sq, sp = _esaapm_starts(
-                esa, [query[qi] for qi in short_q], k)
-            qp.append(short_q[sq].astype(np.int64))
-            pp.append(sp)
-        if long_q.size:
-            lq, lp = _split_esaapm_detect(
-                esa, [query[qi] for qi in long_q], k)
-            qp.append(long_q[lq].astype(np.int64))
-            pp.append(lp)
-        qidx = np.concatenate(qp) if qp else np.zeros(0, np.int64)
-        pos = np.concatenate(pp) if pp else np.zeros(0, np.int64)
-        if pos.size == 0:
-            return MatchTable()
         # measurement (edistprocessstartpos -> longestmatch.c) with
         # the GETEQS rule: pattern WILDCARDs never match
         w = (maxplen + 31) // 32
@@ -459,27 +565,16 @@ def approx_complete_matches(
         lens = np.asarray(bestlen).astype(np.int64)
         dist = np.asarray(bestsc).astype(np.int64)
     else:
-        qidx, pos = _all_piece_candidates(esa, query, k, shifted=False)
-        ok_pre = pos + plens_np[qidx] <= n
-        qidx, pos = qidx[ok_pre], pos[ok_pre]
-        if pos.size == 0:
-            return MatchTable()
-        okh, mm = _verify_hamming(
+        patmat = np.full((B, maxplen), -2, np.int32)
+        for i, p in enumerate(query):
+            patmat[i, : p.size] = p.astype(np.int32)
+        _, mm = _verify_hamming(
             d_text, jnp.asarray(pos, dtype=jnp.int32),
             jnp.asarray(qidx, dtype=jnp.int32), jnp.asarray(patmat),
             d_pl, maxplen, n,
         )
-        mm = np.asarray(mm)
-        okv = np.asarray(okh) & (mm <= k)
-        qidx = qidx[okv]
-        pos = pos[okv]
         lens = plens_np[qidx].astype(np.int64)
-        dist = -mm[okv].astype(np.int64)
-    if pos.size == 0:
-        return MatchTable()
-    order = np.lexsort((esa.stitab[pos], qidx))
-    qidx, pos, lens, dist = (qidx[order], pos[order], lens[order],
-                             dist[order])
+        dist = -np.asarray(mm).astype(np.int64)
 
     tot = pos.size
     ms = esa.multiseq

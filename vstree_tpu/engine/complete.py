@@ -228,19 +228,195 @@ def pattern_codes(
 
 MAX_KEY_LEVELS = 6
 
+# marker for wildcard pattern chars in the narrow int8 upload format
+# (any value >= sigma flags the position; patterns with wildcards never
+# match, exactcompl.c semantics)
+_WILDMARK = 120
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ppl", "cpw", "sigma", "rowspan", "shift",
+                     "use_pallas"),
+)
+def _device_rank_lookup(
+    flat8: jax.Array,    # int8[B * (ppl + 2*cpw + 1)]: patterns ++ plens
+    bck: jax.Array,      # int32[BR, 128] packed (left | width << shift)
+    t1: jax.Array,       # int32[ROWS, 128]
+    t2: jax.Array,       # int32[ROWS, 128]
+    ppl: int,
+    cpw: int,
+    sigma: int,
+    rowspan: int,
+    shift: int,
+    use_pallas: bool,
+):
+    """Whole exact-match interval lookup on device: bucket code,
+    base-(sigma+1) query-key packing and the rank-lookup kernel — one
+    upload, one dispatch, no host work per batch.  ``flat8`` is laid
+    out char-major (W+1 rows of B) so each per-char extraction is a
+    contiguous row (no relayout)."""
+    from ..native.rankcount import (
+        bucket_rank_lookup,
+        bucket_rank_lookup_xla,
+    )
+
+    W = ppl + 2 * cpw
+    p = flat8.reshape(W + 1, -1).astype(jnp.int32)
+    B = p.shape[1]
+    plen = p[W]
+    base = sigma + 1
+    numofcodes = sigma ** ppl
+
+    code = jnp.zeros(B, jnp.int32)
+    valid = jnp.ones(B, bool)
+    for j in range(ppl):
+        c = p[j]
+        valid &= (c >= 0) & (c < sigma)
+        code = code * sigma + jnp.maximum(c, 0)
+
+    q1l = jnp.zeros(B, jnp.int32)
+    q2l = jnp.zeros(B, jnp.int32)
+    q1h = jnp.zeros(B, jnp.int32)
+    q2h = jnp.zeros(B, jnp.int32)
+    for j in range(2 * cpw):
+        c = p[ppl + j]
+        act = (ppl + j) < plen
+        valid &= ~(act & ((c < 0) | (c >= sigma)))
+        cc = jnp.clip(c, 0, sigma - 1)
+        dl = jnp.where(act, cc, 0)
+        dh = jnp.where(act, cc, sigma)
+        if j < cpw:
+            q1l = q1l * base + dl
+            q1h = q1h * base + dh
+        else:
+            q2l = q2l * base + dl
+            q2h = q2h * base + dh
+
+    # invalid queries (wildcards / padding rows) hit the zero-width
+    # sentinel bucket appended at code == numofcodes
+    code = jnp.where(valid, code, numofcodes)
+    fn = bucket_rank_lookup if use_pallas else bucket_rank_lookup_xla
+    return fn(code, q1l, q2l, q1h, q2h, bck, t1, t2, rowspan, shift)
+
+
+# VMEM budget for the packed bucket table (it must stay on-chip
+# alongside the two key tables)
+_BCK_VMEM_BUDGET = 4 << 20
+
+
+class RankLookupPlan:
+    """Precomputed static parameters + device tables for the fast
+    exact-lookup path on one ESA.  Build once, run many batches."""
+
+    def __init__(self, esa: ESA, min_plen: int, max_plen: int):
+        import math
+
+        self.esa = esa
+        sigma = esa.alpha.num_regular
+        self.sigma = sigma
+        self.cpw = esa.chars_per_word()
+        n = esa.totallength
+        deep = int(math.log(_BCK_VMEM_BUDGET / 4) / math.log(sigma))
+        self.ppl = max(1, min(deep, int(min_plen)))
+        self.coverage = self.ppl + 2 * self.cpw
+        self.shift = max(1, int(np.ceil(np.log2(max(n + 2, 4)))))
+        self.ok = (
+            max_plen <= self.coverage
+            and sigma < _WILDMARK
+            and n >= 1
+        )
+        if not self.ok:
+            return
+        maxw = esa.aux_bck_maxwidth(self.ppl)
+        self.rowspan = max(1, (maxw + 254) // 128)
+        if (self.rowspan > 8
+                or self.shift + max(1, maxw).bit_length() > 31):
+            self.ok = False
+            return
+        self.bck = self._packed_bck()
+        self.t1, self.t2 = esa.rank_words(self.ppl)
+        self.use_pallas = jax.default_backend() == "tpu"
+
+    def _packed_bck(self):
+        """One int32 per bucket code: ``left | width << shift``; a
+        zero-width sentinel entry at code == numofcodes catches
+        invalid queries.  Cached on the ESA."""
+        key = ("packed_bck", self.ppl, self.shift)
+        cache = self.esa._device_cache
+        if key not in cache:
+            raw = self.esa.aux_bck(self.ppl)
+            left = raw[0::2].astype(np.int64)
+            mid = raw[1::2].astype(np.int64)
+            packed = left | ((mid - left) << self.shift)
+            ncodes = packed.size + 1
+            rows = (ncodes + 127) // 128
+            buf = np.zeros(rows * 128, np.int64)
+            buf[: packed.size] = packed
+            cache[key] = jnp.asarray(
+                buf.astype(np.int32).reshape(rows, 128)
+            )
+        return cache[key]
+
+    def pack(self, patterns: np.ndarray, plens: np.ndarray):
+        """Host-side narrow packing into ONE flat int8 upload buffer,
+        char-major: (coverage+1, Bp) — rows 0..coverage-1 hold pattern
+        char j for every query (-1 pad, wildcards -> _WILDMARK), the
+        last row the pattern lengths."""
+        from ..native.rankcount import TILE
+
+        B, maxplen = patterns.shape
+        Bp = -(-B // TILE) * TILE
+        out = np.full((self.coverage + 1, Bp), -1, np.int8)
+        w = min(maxplen, self.coverage)
+        src = patterns[:, :w]
+        narrow = np.where(
+            (src >= 0) & (src < self.sigma), src, -1
+        ).astype(np.int8)
+        narrow = np.where(src >= self.sigma, np.int8(_WILDMARK), narrow)
+        out[:w, :B] = narrow.T
+        out[self.coverage, :B] = np.minimum(plens, 127).astype(np.int8)
+        out[self.coverage, B:] = 0
+        if plens.max(initial=0) > 127:
+            raise ValueError("fast path requires plen <= 127")
+        return out.reshape(-1), Bp
+
+    def run(self, flat8):
+        """Dispatch the device lookup; returns device (lo, hi)."""
+        return _device_rank_lookup(
+            jnp.asarray(flat8),
+            self.bck,
+            self.t1,
+            self.t2,
+            self.ppl,
+            self.cpw,
+            self.sigma,
+            self.rowspan,
+            self.shift,
+            self.use_pallas,
+        )
+
 
 def exact_interval_lookup(
     esa: ESA, patterns: np.ndarray, plens: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rank interval [lo, hi) of every whole pattern.
 
-    Fast path: deep bucket bracket + packed-key integer binary search
-    (one int32 gather per probe per level).  Falls back to the direct
-    text-comparison search for patterns longer than the key coverage.
+    Fast path (rank-count kernel): deep bucket bracket + base-(σ+1)
+    two-word keys + the vectorized window count of
+    :mod:`vstree_tpu.native.rankcount` — O(1) probes per query.
+    Falls back to the packed-key batched binary search for patterns
+    longer than the two-word coverage, then to direct text comparison.
     """
     import math
 
     B, maxplen = patterns.shape
+    if B > 0 and esa.totallength > 0 and plens.max(initial=0) <= 127:
+        plan = RankLookupPlan(esa, int(plens.min()), maxplen)
+        if plan.ok:
+            flat8, _ = plan.pack(patterns, plens)
+            lo, hi = plan.run(flat8)
+            return np.asarray(lo)[:B], np.asarray(hi)[:B]
     n = esa.totallength
     pl = esa.prefixlength
     numofchars = esa.alpha.num_regular

@@ -27,10 +27,10 @@ FLAGPPRIGHTREVERSE = 1 << 7
 # mode chars (reference include/match.h:51-58)
 DIRECTCHAR = "D"
 PALINDROMICCHAR = "P"
-PPFWDFWDCHAR = "F"
-PPREVREVCHAR = "G"
-PPFWDREVCHAR = "H"
-PPREVFWDCHAR = "I"
+PPFWDFWDCHAR = "F"   # protein match: left forward, right forward
+PPFWDREVCHAR = "G"   # left forward, right reverse
+PPREVFWDCHAR = "H"   # left reverse, right forward
+PPREVREVCHAR = "I"   # left reverse, right reverse
 
 
 @dataclass
@@ -116,7 +116,7 @@ class MatchTable:
         lrev = (self.flag & FLAGPPLEFTREVERSE) != 0
         rrev = (self.flag & FLAGPPRIGHTREVERSE) != 0
         out[codon & ~lrev & ~rrev] = PPFWDFWDCHAR
-        out[codon & lrev & rrev] = PPREVREVCHAR
-        out[codon & lrev & ~rrev] = PPREVFWDCHAR
         out[codon & ~lrev & rrev] = PPFWDREVCHAR
+        out[codon & lrev & ~rrev] = PPREVFWDCHAR
+        out[codon & lrev & rrev] = PPREVREVCHAR
         return out

@@ -143,6 +143,63 @@ class ESA:
             self._rank_keys[key] = jnp.asarray(out)
         return self._rank_keys[key]
 
+    def chars_per_word(self) -> int:
+        """Chars per base-(sigma+1) packed key word: the largest e with
+        (sigma+1)**e < 2**31 (13 for DNA, 7 for protein)."""
+        base = self.alpha.num_regular + 1
+        e = 1
+        while base ** (e + 1) < (1 << 31):
+            e += 1
+        return e
+
+    def rank_words(self, depth: int):
+        """Row-major packed comparison-word tables for the rank-count
+        kernel (:mod:`vstree_tpu.native.rankcount`): two device arrays
+        ``(ROWS, 128)`` int32 where flat index r holds the base-(σ+1)
+        Horner packing of chars ``text[suftab[r]+depth+j]`` for
+        j in [0, cpw) (word 1) and [cpw, 2*cpw) (word 2).  Digits:
+        regular char c -> c; from the first special char or
+        past-the-end onwards every digit saturates to σ (keeps words
+        monotone over ranks — specials order by position, which within
+        equal words is the rank order itself).  Padding rows beyond
+        rank n hold INT32_MAX.  Cached."""
+        import jax.numpy as jnp
+
+        key = ("words", depth)
+        if key not in self._rank_keys:
+            sigma = self.alpha.num_regular
+            base = sigma + 1
+            cpw = self.chars_per_word()
+            W = 2 * cpw
+            n = self.totallength
+            text = self.text
+            starts = self.suftab.astype(np.int64)
+            R = starts.size
+            rows = (R + 127) // 128 + 8
+            out1 = np.full(rows * 128, np.iinfo(np.int32).max, np.int32)
+            out2 = np.full(rows * 128, np.iinfo(np.int32).max, np.int32)
+            chunk = 1 << 21
+            for c0 in range(0, R, chunk):
+                st = starts[c0 : c0 + chunk, None]
+                idx = st + depth + np.arange(W)[None, :]
+                inb = idx < n
+                ch = text[np.minimum(idx, max(n - 1, 0))].astype(np.int64)
+                special = (~inb) | (ch >= sigma)
+                sat = np.maximum.accumulate(special, axis=1)
+                dig = np.where(sat, sigma, ch)
+                w1 = np.zeros(st.size, np.int64)
+                w2 = np.zeros(st.size, np.int64)
+                for j in range(cpw):
+                    w1 = w1 * base + dig[:, j]
+                    w2 = w2 * base + dig[:, cpw + j]
+                out1[c0 : c0 + st.shape[0]] = w1.astype(np.int32)
+                out2[c0 : c0 + st.shape[0]] = w2.astype(np.int32)
+            self._rank_keys[key] = (
+                jnp.asarray(out1.reshape(rows, 128)),
+                jnp.asarray(out2.reshape(rows, 128)),
+            )
+        return self._rank_keys[key]
+
     def aux_bck(self, depth: int) -> np.ndarray:
         """Bucket table at an arbitrary prefix depth (auxiliary, never
         serialized).  Deeper-than-prefixlength buckets shrink the
