@@ -65,6 +65,10 @@ def body_sorted(s):
     return sorted(l for l in s.splitlines() if not l.startswith("#"))
 
 
+def body(s):
+    return [l for l in s.splitlines() if not l.startswith("#")]
+
+
 @needs_ref
 @pytest.mark.parametrize("name", [n for (r, a) in CORPORA
                                   for n in [os.path.basename(r).replace(".fna", "")]])
@@ -78,7 +82,14 @@ def test_selfmatch_parity(indexes, name, task):
     tmp = indexes[name]
     ref = run_ref(task + [str(tmp / f"ref_{name}")])
     ours = run_ours(task + [str(tmp / f"our_{name}")], cwd=str(tmp))
-    assert body_sorted(ref) == body_sorted(ours)
+    if task[0] == "-tandem":
+        # tandem emission order parity is pending (ftandem.c:261)
+        assert body_sorted(ref) == body_sorted(ours)
+    else:
+        # -supermax and -l emit in the reference's exact DFS order
+        # (fsuper.c right-boundary order; vmatfind.c traversal via
+        # maximal_pairs_ref_order)
+        assert body(ref) == body(ours)
 
 
 @needs_ref
@@ -128,4 +139,7 @@ def test_mumself_and_crossing_parity(dbq_indexes, task):
     tmp = dbq_indexes
     ref = run_ref(task + [str(tmp / "ref_dbq")])
     ours = run_ours(task + [str(tmp / "our_dbq")], cwd=str(tmp))
-    assert body_sorted(ref) == body_sorted(ours)
+    if task[0] == "-l" and len(task) == 2:
+        assert body(ref) == body(ours)
+    else:
+        assert body_sorted(ref) == body_sorted(ours)

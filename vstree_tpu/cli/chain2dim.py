@@ -66,6 +66,19 @@ def parse_chain_args(argv):
             mode.maxgapwidth = int(argv[i])
         elif a == "-silent":
             silent = True
+            mode.silent = True
+        elif a == "-outprefix":
+            i += 1
+            mode.outprefix = argv[i]
+        elif a == "-withinborders":
+            mode.withinborders = True
+        elif a == "-thread":
+            # chncallparse.c:314-330: optional minlen1/erate1[/minlen2/
+            # erate2] numeric arguments
+            mode.dothreading = True
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-") \
+                    and i + 1 < len(argv) - 1:
+                i += 1
         elif a == "-v":
             pass
         elif not a.startswith("-"):

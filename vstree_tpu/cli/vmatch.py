@@ -30,7 +30,7 @@ from ..engine.gextend import (
     hamming_extend_seeds,
 )
 from ..engine.query import find_query_matches
-from ..engine.repeats import find_maximal_pairs, find_tandems
+from ..engine.repeats import find_maximal_pairs_ref, find_tandems
 from ..engine.xdrop import xdrop_extend_seeds
 from ..engine.supermax import find_supermax
 from ..index.io import read_index
@@ -49,6 +49,7 @@ from ..output.render import (
     argument_header,
     assign_query_digits,
     assign_virtual_digits,
+    basic_args,
     render_matches,
 )
 from ..stats.evalues import Evalues
@@ -151,6 +152,105 @@ def parse_args(argv: list[str]) -> dict:
                 nopt += 1
             opts["s"] = showstring
             i += 1; continue
+        if key == "pp":
+            # -pp chain|matchcluster <operands...> (parsepp.c:123-186):
+            # operands run until the next option or the trailing index
+            # argument; known sub-option keywords get a "-" prefix
+            # (filltransformedargs, parsepp.c:32-94)
+            j = i + 1
+            ops: list[str] = []
+            while j < len(argv) - 1 and not argv[j].startswith("-"):
+                ops.append(argv[j]); j += 1
+            if not ops:
+                raise SystemExit(
+                    "vmatch: missing argument for option -pp")
+            ppmode, rest = ops[0], ops[1:]
+            if ppmode == "chain":
+                kw = ("global", "local", "maxgap", "outprefix",
+                      "silent", "thread", "wf", "withinborders")
+                targs = [("-" + a if a in kw else a) for a in rest]
+                from .chain2dim import parse_chain_args
+
+                cmode, _, _ = parse_chain_args(targs + ["dummyindex"])
+                opts["pp_chain"] = cmode
+            elif ppmode == "matchcluster":
+                kw = ("erate", "gapsize", "overlap", "outprefix")
+                targs = [("-" + a if a in kw else a) for a in rest]
+                from .matchcluster import parse_matchcluster_args
+
+                info, _ = parse_matchcluster_args(targs,
+                                                  fromvmatch=True)
+                opts["pp_mcl"] = info
+            else:
+                raise SystemExit(
+                    f'vmatch: illegal postprocessing mode "{ppmode}"')
+            i = j
+            continue
+        if key == "dbcluster":
+            # -dbcluster p1 p2 [prefix [(min,max)]]
+            # (parsedbcl.c:16-75)
+            from ..postprocess.dbcluster import Clusterparms
+
+            parms = Clusterparms()
+            for which in ("first", "second"):
+                i += 1
+                if i >= len(argv) or argv[i].startswith("-"):
+                    raise SystemExit(
+                        "vmatch: missing argument for option "
+                        "-dbcluster")
+                v = int(argv[i])
+                if v < 0 or v > 100:
+                    raise SystemExit(
+                        f"vmatch: {which} argument to option "
+                        f"-dbcluster must be integer in range [0,100]")
+                if which == "first":
+                    parms.percsmall = v
+                else:
+                    parms.perclarge = v
+            if i + 1 < len(argv) - 1 and not argv[i + 1].startswith("-"):
+                i += 1
+                if argv[i].startswith("("):
+                    raise SystemExit(
+                        "vmatch: the specification of minimal and "
+                        "maximal cluster sizes requires the "
+                        "specification of a file prefix as third "
+                        "argument")
+                parms.prefix = argv[i]
+                if i + 1 < len(argv) - 1 \
+                        and not argv[i + 1].startswith("-"):
+                    i += 1
+                    import re
+
+                    m = re.fullmatch(r"\((\d+),(\d+)\)", argv[i])
+                    if not m:
+                        raise SystemExit(
+                            f'vmatch: incorrect fourth argument '
+                            f'"{argv[i]}" to option -dbcluster: '
+                            "cluster size specification must be of "
+                            "the form (dbclminsize,dbclmaxsize)")
+                    parms.minsize = int(m.group(1))
+                    parms.maxsize = int(m.group(2))
+                    if parms.minsize < 1:
+                        raise SystemExit(
+                            "vmatch: first number in clustersize "
+                            "specification must not be < 1")
+                    if parms.maxsize != 0 \
+                            and parms.maxsize < parms.minsize:
+                        raise SystemExit(
+                            "vmatch: second number in clustersize "
+                            "specification must not be smaller than "
+                            "first number")
+            opts["dbcluster"] = parms
+            i += 1
+            continue
+        if key == "nonredundant":
+            i += 1
+            if i >= len(argv) - 1 or argv[i].startswith("-"):
+                raise SystemExit(
+                    "vmatch: missing argument for option -nonredundant")
+            opts["nonredundant"] = argv[i]
+            i += 1
+            continue
         if key in ("sort", "showdesc", "selfun", "f"):
             if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
                     and i + 1 < len(argv) - 1:
@@ -242,6 +342,10 @@ def run(argv: list[str], out=None) -> int:
 
     if opts["sort"] is not None and opts["best"] is None:
         raise SystemExit("vmatch: option -sort requires option -best")
+    if opts.get("nonredundant") is not None \
+            and opts.get("dbcluster") is None:
+        raise SystemExit(
+            "vmatch: option -nonredundant requires option -dbcluster")
 
     def _mark_and_emit(mt, query):
         """-dbnomatch/-qnomatch/-dbmaskmatch/-qmaskmatch output path
@@ -326,6 +430,43 @@ def run(argv: list[str], out=None) -> int:
         if opts.get("nomatch") is not None or \
                 opts.get("maskchar") is not None:
             return _mark_and_emit(mt, query)
+        if opts.get("dbcluster") is not None:
+            from ..postprocess.dbcluster import run_dbcluster
+
+            parms = opts["dbcluster"]
+            parms.nonredundantfile = opts.get("nonredundant")
+            run_dbcluster(
+                ms, mt, parms,
+                basic_header=argument_header(
+                    basic_args(argv[:-1]), opts["index"]),
+                digits=digits, showmode=showmode,
+                showdesc_defined=opts["showdesc"] is not None,
+                showstring=opts["s"] or 0, out=out,
+            )
+            return 0
+        if opts.get("pp_chain") is not None:
+            from ..postprocess.chain import vmatch_chaining
+
+            def emit_rows(sub, fh):
+                for line in render_matches(sub, ms, digits, showmode,
+                                           query):
+                    fh.write(line + "\n")
+
+            vmatch_chaining(
+                mt, opts["pp_chain"],
+                argument_header(basic_args(argv[:-1]), opts["index"]),
+                emit_rows, out,
+            )
+            return 0
+        if opts.get("pp_mcl") is not None:
+            from ..postprocess.matchcluster import run_matchcluster
+
+            mfargs = argument_header(
+                basic_args(argv[:-1]), opts["index"]
+            )[len("# args="):]
+            run_matchcluster(opts["pp_mcl"], mt, ms, query, mfargs,
+                             out=out)
+            return 0
         if opts["i"]:
             # match-count distribution (vmatcount.c via distri.c):
             # histogram of match lengths, engine output pre-filter
@@ -454,7 +595,7 @@ def run(argv: list[str], out=None) -> int:
                 # xdropseedextend); seeds are maximal pairs of length
                 # >= seedlength (default 30)
                 seedlength = opts.get("seedlength") or 30
-                seeds = _cross_filter(find_maximal_pairs(esa, seedlength))
+                seeds = _cross_filter(find_maximal_pairs_ref(esa, seedlength))
                 sq = Seqs(ms.sequence, ms.sequence)
                 mt = xdrop_extend_seeds(sq, seeds, xdrop, seedlength,
                                         querycompare=False)
@@ -464,7 +605,7 @@ def run(argv: list[str], out=None) -> int:
                 k = k_e if k_e is not None else k_h
                 seedlength = max(opts.get("seedlength") or 0,
                                  opts["l"] // (k + 1))
-                seeds = _cross_filter(find_maximal_pairs(esa, seedlength))
+                seeds = _cross_filter(find_maximal_pairs_ref(esa, seedlength))
                 sq = Seqs(ms.sequence, ms.sequence)
                 if k_e is not None:
                     mt = edit_extend_seeds(
@@ -475,7 +616,7 @@ def run(argv: list[str], out=None) -> int:
                         sq, ev, seeds, k, opts["l"], seedlength,
                         querycompare=False)
             else:
-                mt = _cross_filter(find_maximal_pairs(esa, opts["l"]))
+                mt = _cross_filter(find_maximal_pairs_ref(esa, opts["l"]))
             raw = mt
             mt = process_final(mt, ms, ev, mp)
             return finish(mt, raw=raw)

@@ -222,3 +222,193 @@ def find_tandems(esa: ESA, searchlength: int) -> MatchTable:
         lo, hi, d = lo[tandem], hi[tandem], d[tandem]
         out.append(_pairs_to_matchtable(esa, lo, lo + d, d))
     return MatchTable.concat(out)
+
+
+# ---------------------------------------------------------------------
+# Reference-emission-order enumeration
+# ---------------------------------------------------------------------
+
+# GETLEFTCHAR at rank `longest` yields INITIALCHAR = alphabetsize+1
+# (vmatfind.c:46) — >= ISLEFTDIVERSE, lands in the unique list
+
+
+class _Slot:
+    """One stack slot of the reference traversal (vmatfind.c Nodeinfo).
+    PUSHDFS reuses slots without clearing the list windows — a node
+    whose first successor is a completed branch INHERITS the popped
+    child's windows by that slot reuse (vdfstrav.c:168-171 sets only
+    depth/lastisleafedge; processbranch firstsucc==True is a no-op)."""
+
+    __slots__ = ("depth", "leaf_pending", "commonchar", "start",
+                 "length", "ustart", "ulen")
+
+    def __init__(self, sigma: int):
+        self.depth = 0
+        self.leaf_pending = True
+        self.commonchar = 0
+        self.start = [0] * sigma
+        self.length = [0] * sigma
+        self.ustart = 0
+        self.ulen = 0
+
+
+def maximal_pairs_ref_order(esa: ESA, searchlength: int):
+    """Maximal repeated pairs in the EXACT emission order of the
+    reference bottom-up traversal (vdfstrav.c:248-420 driving
+    vmatfind.c processleafedge/processbranch/cartproduct1/2) — the
+    order the reference streams matches through processexactselfmatch
+    (fself.c:95), which -pp chaining/matchcluster ids and bit-identical
+    output depend on.
+
+    Only ranks inside maximal runs of lcp >= searchlength can emit or
+    carry state (processleafedge/processbranch reset and return at
+    father.depth < searchlength), so the stack simulation runs per
+    run; runs in rank order = global emission order.
+
+    Yields (depth, pos_i, pos_j) triples (unnormalized orientation, as
+    handed to the output callback)."""
+    L = max(searchlength, 1)
+    lcp = esa.lcptab
+    suf = esa.suftab
+    bwt = esa.bwttab
+    longest = esa.longest
+    sigma = esa.alpha.num_regular
+    ILD = sigma                       # ISLEFTDIVERSE (vmatfind.c:45)
+    initialchar = sigma + 1           # INITIALCHAR (vmatfind.c:46)
+    left_runs, right_runs = _l_runs(lcp, L)
+    out: list[tuple[int, int, int]] = []
+    emit = out.append
+
+    for run in range(left_runs.size):
+        a = int(left_runs[run])
+        b = int(right_runs[run])
+        pos: list[list[int]] = [[] for _ in range(sigma)]
+        uniq: list[int] = []
+        slots = [_Slot(sigma)]
+        nf = 1
+
+        def leafedge(firstsucc, father, leftchar, leafpos):
+            if father.depth < L:
+                return
+            depth = father.depth
+            if firstsucc:
+                father.commonchar = leftchar
+                father.ustart = len(uniq)
+                father.ulen = 0
+                for c in range(sigma):
+                    father.start[c] = len(pos[c])
+                    father.length[c] = 0
+                _addpos(father, leftchar, leafpos)
+                return
+            if father.commonchar != ILD and (
+                    father.commonchar != leftchar or leftchar >= ILD):
+                father.commonchar = ILD
+            if father.commonchar == ILD:
+                for c in range(sigma):
+                    if c != leftchar:
+                        s = father.start[c]
+                        for p in pos[c][s: s + father.length[c]]:
+                            emit((depth, leafpos, p))
+                s = father.ustart
+                for u in uniq[s: s + father.ulen]:
+                    emit((depth, leafpos, u))
+            _addpos(father, leftchar, leafpos)
+
+        def _addpos(ninfo, base, leafpos):
+            if base >= sigma:
+                uniq.append(leafpos)
+                ninfo.ulen += 1
+            else:
+                pos[base].append(leafpos)
+                ninfo.length[base] += 1
+
+        def branchedge(firstsucc, father, son):
+            if father.depth < L:
+                return
+            if firstsucc:
+                # adoption via slot reuse (no-op)
+                return
+            depth = father.depth
+            if father.commonchar != ILD:
+                if son.commonchar != ILD:
+                    if father.commonchar != son.commonchar \
+                            or son.commonchar >= ILD:
+                        father.commonchar = ILD
+                else:
+                    father.commonchar = ILD
+            if father.commonchar == ILD:
+                su = uniq[son.ustart: son.ustart + son.ulen]
+                for cf in range(sigma):
+                    fs = father.start[cf]
+                    flist = pos[cf][fs: fs + father.length[cf]]
+                    for cs in range(sigma):
+                        if cs != cf:
+                            ss = son.start[cs]
+                            slist = pos[cs][ss: ss + son.length[cs]]
+                            for p1 in flist:
+                                for p2 in slist:
+                                    emit((depth, p1, p2))
+                    for u in su:
+                        for p in flist:
+                            emit((depth, u, p))
+                fs = father.ustart
+                for fu in uniq[fs: fs + father.ulen]:
+                    for cs in range(sigma):
+                        ss = son.start[cs]
+                        for p in pos[cs][ss: ss + son.length[cs]]:
+                            emit((depth, fu, p))
+                    for u in su:
+                        emit((depth, fu, u))
+            for c in range(sigma):
+                father.length[c] += son.length[c]
+            father.ulen += son.ulen
+
+        for i in range(a, b + 1):
+            currentlcp = int(lcp[i + 1])
+            prevsuf = int(suf[i])
+            lc = initialchar if i == longest else int(bwt[i])
+            while currentlcp < slots[nf - 1].depth:
+                top = slots[nf - 1]
+                if top.leaf_pending:
+                    leafedge(False, top, lc, prevsuf)
+                else:
+                    branchedge(False, top, slots[nf])
+                nf -= 1
+            top = slots[nf - 1]
+            if i == b:
+                break          # end of run: only shallow events remain
+            if currentlcp == top.depth:
+                if top.leaf_pending:
+                    leafedge(False, top, lc, prevsuf)
+                else:
+                    branchedge(False, top, slots[nf])
+                    top.leaf_pending = True
+            else:
+                if nf == len(slots):
+                    slots.append(_Slot(sigma))
+                newtop = slots[nf]
+                newtop.depth = currentlcp
+                newtop.leaf_pending = True
+                nf += 1
+                below = slots[nf - 2]
+                if below.leaf_pending:
+                    leafedge(True, newtop, lc, prevsuf)
+                    below.leaf_pending = False
+                # else: PROCESSBRANCHEDGE(True) — a no-op: the new node
+                # adopts the just-popped child's windows by slot reuse
+    return out
+
+
+def find_maximal_pairs_ref(esa: ESA, searchlength: int) -> MatchTable:
+    """find_maximal_pairs with the reference's exact emission order
+    (processexactselfmatch normalizes each pair to (min, max) —
+    ACCEPTMATCH, fself.c:23-32)."""
+    trip = maximal_pairs_ref_order(esa, searchlength)
+    tot = len(trip)
+    if tot == 0:
+        return MatchTable()
+    arr = np.asarray(trip, np.int64).reshape(tot, 3)
+    d = arr[:, 0]
+    lo = np.minimum(arr[:, 1], arr[:, 2])
+    hi = np.maximum(arr[:, 1], arr[:, 2])
+    return _pairs_to_matchtable(esa, lo, hi, d)

@@ -9,8 +9,12 @@ the obvious port, but on TPU every probe is a random HBM gather
 eliminates searching entirely:
 
 - A packed bucket table at prefix depth ``d`` (one int32 per code:
-  ``left | width << shift``) lives in VMEM (4 MB at d=10 for DNA) and
-  brackets every pattern to a <=few-hundred-wide rank window.
+  ``left | width << shift``) brackets every pattern to a
+  <=few-hundred-wide rank window.  The bracket is fetched OUTSIDE the
+  kernel with one XLA gather over the query batch (engine/complete.py
+  ``_device_rank_lookup``) — keeping it out of the scalar loop more
+  than quadruples kernel throughput (the per-query VMEM slice+extract
+  chain was the bottleneck, not the window compare).
 - Suffix comparison keys for the chars after ``d`` are packed into TWO
   base-(sigma+1) int32 words per rank, stored row-major ``(ROWS,128)``
   in VMEM (8(n+1) bytes; a few MB for megabase texts).
@@ -21,7 +25,7 @@ eliminates searching entirely:
 
 The kernel loops over queries in SMEM, unrolled by ``UNROLL`` so
 Mosaic overlaps the independent VMEM slice latencies; measured
-~20 M queries/s on TPU v5e (vs 1.4 M qps for the gather-based
+~23 M queries/s on the build TPU (vs 1.4 M qps for the gather-based
 batched binary search it replaces, and ~0.5 M qps single-core for the
 reference binary).
 
@@ -45,27 +49,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024     # queries per grid step
-UNROLL = 8      # independent queries in flight inside the loop
+UNROLL = 64     # independent queries in flight inside the loop
 
 
-def _kernel(rowspan: int, shift: int):
-    mask = (1 << shift) - 1
-
-    def kern(code_ref, q1l_ref, q2l_ref, q1h_ref, q2h_ref,
-             bck_ref, t1_ref, t2_ref, lo_out, hi_out):
+def _kernel(rowspan: int):
+    def kern(left_ref, width_ref, q1l_ref, q2l_ref, q1h_ref, q2h_ref,
+             t1_ref, t2_ref, lo_out, hi_out):
         jbase = (
             lax.broadcasted_iota(jnp.int32, (rowspan, 128), 0) * 128
             + lax.broadcasted_iota(jnp.int32, (rowspan, 128), 1)
         )
-        laneio = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def one(i):
-            c = code_ref[i]
-            # bucket-table entry: VMEM row slice + masked lane extract
-            bv = bck_ref[pl.ds(lax.shift_right_logical(c, 7), 1), :]
-            v = jnp.sum(jnp.where(laneio == (c & 127), bv, 0))
-            left = v & mask
-            hiv = left + lax.shift_right_logical(v, shift)
+            left = left_ref[i]
+            hiv = left + width_ref[i]
             row = lax.shift_right_logical(left, 7)
             q1l = q1l_ref[i]
             q2l = q2l_ref[i]
@@ -94,53 +91,47 @@ def _kernel(rowspan: int, shift: int):
     return kern
 
 
-@functools.partial(
-    jax.jit, static_argnames=("rowspan", "shift", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("rowspan", "interpret"))
 def bucket_rank_lookup(
-    code: jax.Array,   # int32[B] bucket code (numofcodes = invalid)
+    left: jax.Array,   # int32[B] bucket left border (pre-gathered)
+    width: jax.Array,  # int32[B] bucket width
     q1l: jax.Array,    # int32[B] query LOW key word 1 (pad digit 0)
     q2l: jax.Array,    # int32[B] query LOW key word 2
     q1h: jax.Array,    # int32[B] query HIGH key word 1 (pad digit sigma)
     q2h: jax.Array,    # int32[B] query HIGH key word 2
-    bck: jax.Array,    # int32[BR,128] packed (left | width << shift)
     t1: jax.Array,     # int32[ROWS,128] suffix key word-1 table
     t2: jax.Array,     # int32[ROWS,128] suffix key word-2 table
     rowspan: int,
-    shift: int,
     interpret: bool = False,
 ):
     """[lo, hi) rank interval of suffixes whose keys lie in
-    [qlow, qhigh] within the code's bucket — the whole-pattern exact
-    match interval.  ``B`` must be a multiple of TILE; every bucket
-    must span < rowspan*128 - 127 ranks and fit its width in
-    31 - shift bits."""
-    B = code.shape[0]
+    [qlow, qhigh] within the pre-bracketed bucket — the whole-pattern
+    exact match interval.  ``B`` must be a multiple of TILE; every
+    bucket must span < rowspan*128 - 127 ranks and have width < 2^16
+    hits per query window."""
+    B = left.shape[0]
     assert B % TILE == 0, B
     grid = (B // TILE,)
     blk = lambda i: (i,)
     smem = pl.BlockSpec((TILE,), blk, memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        _kernel(rowspan, shift),
+        _kernel(rowspan),
         out_shape=(jax.ShapeDtypeStruct((B,), jnp.int32),
                    jax.ShapeDtypeStruct((B,), jnp.int32)),
         grid=grid,
-        in_specs=[smem] * 5 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[smem] * 6 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=(pl.BlockSpec((TILE,), blk, memory_space=pltpu.SMEM),
                    pl.BlockSpec((TILE,), blk, memory_space=pltpu.SMEM)),
         interpret=interpret,
-    )(code, q1l, q2l, q1h, q2h, bck, t1, t2)
+    )(left, width, q1l, q2l, q1h, q2h, t1, t2)
 
 
-@functools.partial(jax.jit, static_argnames=("rowspan", "shift"))
-def bucket_rank_lookup_xla(code, q1l, q2l, q1h, q2h, bck, t1, t2,
-                           rowspan: int, shift: int):
+@functools.partial(jax.jit, static_argnames=("rowspan",))
+def bucket_rank_lookup_xla(left, width, q1l, q2l, q1h, q2h, t1, t2,
+                           rowspan: int):
     """Reference/fallback implementation of bucket_rank_lookup in plain
     XLA (windowed gathers) — used on CPU and in differential tests."""
-    mask = (1 << shift) - 1
-    v = bck.reshape(-1)[code]
-    left = v & mask
-    hiv = left + lax.shift_right_logical(v, shift)
+    hiv = left + width
     rows = lax.shift_right_logical(left, 7)
     W = rowspan * 128
     t1f = t1.reshape(-1)

@@ -39,6 +39,12 @@ class ChainMode:
     percentaway: int = 0
     maxgapwidth: int = 0
     weightfactor: float = 1.0
+    # chainvm.c / chncallparse.c extras (used by vmatch -pp chain and
+    # the standalone chain2dim tool)
+    silent: bool = False
+    outprefix: str | None = None
+    withinborders: bool = False
+    dothreading: bool = False
 
 
 @dataclass
@@ -195,3 +201,67 @@ def chain_fragments(mt: MatchTable, mode: ChainMode) -> Chains:
         chains.append(retrace(int(j)))
         scores.append(sc)
     return Chains(chains, scores, mt)
+
+
+def vmatch_chaining(
+    mt: MatchTable,
+    mode: ChainMode,
+    argumentline: str,
+    emit_rows,
+    out,
+) -> None:
+    """vmatchchaining (Vmatch/chainvm.c:463-500): chain the final
+    match table and emit each chain as ``# chain N: length L score S``
+    followed by its member match rows (to stdout, or to
+    ``<outprefix>-N.chain`` files carrying the argument-line header).
+
+    With ``-withinborders`` and matches spanning several sequence
+    pairs, matches are first grouped by (seqnum1, seqnum2)
+    (groupmatchesbyseqnum, kurtz/matsort.c:316) and each group chained
+    independently with its own chain counter
+    (groupandcomputevmatchchains, chainvm.c:406-461).
+
+    ``emit_rows(table, fh)`` renders match rows to the handle.
+    """
+    if len(mt) == 0:
+        return
+    if mode.dothreading:
+        raise SystemExit(
+            "vmatch: -pp chain thread is not implemented")
+
+    def do_group(sub: MatchTable) -> None:
+        res = chain_fragments(sub, mode)
+        if not res.fragments:
+            raise SystemExit(
+                "vmatch: no chains of length > 1 with positive scores "
+                "available")
+        for cc, (frags, sc) in enumerate(
+                zip(res.fragments, res.scores)):
+            if mode.outprefix is not None:
+                fname = f"{mode.outprefix}-{cc}.chain"
+                fh = open(fname, "w")
+                fh.write(argumentline + "\n")
+            else:
+                fh = out
+            fh.write(f"# chain {cc}: length {frags.size} score {sc}\n")
+            if not mode.silent:
+                emit_rows(res.table.select(frags), fh)
+            if mode.outprefix is not None:
+                fh.close()
+
+    same_pair = bool(
+        (mt.seqnum1 == mt.seqnum1[0]).all()
+        and (mt.seqnum2 == mt.seqnum2[0]).all()
+    )
+    if mode.withinborders and not same_pair:
+        order = np.lexsort((mt.seqnum2, mt.seqnum1))
+        grouped = mt.select(order)
+        key = grouped.seqnum1 * (grouped.seqnum2.max() + 1) \
+            + grouped.seqnum2
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        for lo, hi in zip(
+                np.concatenate([[0], bounds]),
+                np.concatenate([bounds, [len(grouped)]])):
+            do_group(grouped.select(slice(int(lo), int(hi))))
+    else:
+        do_group(mt)
