@@ -42,6 +42,7 @@ def parse_args(argv: list[str]) -> dict:
         "db": [], "q": [], "smap": None, "dna": False, "protein": False,
         "pl": None, "pl_auto": False, "indexname": None, "rev": False,
         "cpl": False, "maxdepth": None, "v": False,
+        "numproc": None,
         "demand": set(),
     }
     i = 0
@@ -66,6 +67,8 @@ def parse_args(argv: list[str]) -> dict:
             if i + 1 < len(argv) and argv[i + 1].isdigit():
                 opts["pl"] = int(argv[i + 1]); i += 1
             i += 1; continue
+        if a == "-numproc":
+            i += 1; opts["numproc"] = int(argv[i]); i += 1; continue
         if a == "-maxdepth":
             if i + 1 < len(argv) and argv[i + 1].isdigit():
                 opts["maxdepth"] = int(argv[i + 1]); i += 1
@@ -147,13 +150,22 @@ def run(argv: list[str]) -> int:
     if opts["v"]:
         print(f"# dbfile={files[0]} {ms.totallength} symbols")
         print(f"# prefixlength={pl}")
-    esa = build_esa(ms, alpha, prefixlength=pl, demand=build_demand)
+    mesh = None
+    if opts["numproc"] and opts["numproc"] > 1:
+        from ..parallel.shardesa import numproc_mesh
+
+        mesh = numproc_mesh(opts["numproc"])
+    esa = build_esa(ms, alpha, prefixlength=pl, demand=build_demand,
+                    mesh=mesh)
     write_index(esa, opts["indexname"])
     return 0
 
 
 def main() -> None:
-    sys.exit(run(sys.argv[1:]))
+    try:
+        sys.exit(run(sys.argv[1:]))
+    except BrokenPipeError:  # e.g. piped into head
+        sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,7 @@ def parse_args(argv: list[str]) -> dict:
         "evalue": None, "identity": None, "leastscore": None,
         "supermax": False, "mum": False, "tandem": False, "i": False,
         "v": False, "s": None, "sort": None, "showdesc": None,
+        "numproc": None,
         "args": argv[:],
     }
     i = 0
@@ -96,7 +97,7 @@ def parse_args(argv: list[str]) -> dict:
                 opts[key] = 0
             i += 1; continue
         if key in ("h", "e", "exdrop", "hxdrop", "leastscore",
-                   "identity"):
+                   "identity", "numproc"):
             i += 1
             opts[key] = int(argv[i]); i += 1; continue
         if key == "evalue":
@@ -313,6 +314,13 @@ def run(argv: list[str], out=None) -> int:
     out = out or sys.stdout
     opts = parse_args(argv)
     esa = read_index(opts["index"])
+    # -numproc N (parsevm.c:877, vdfstrav.c:419-499 DISTRIBUTEDDFS):
+    # distribute the rank range over N devices of a jax mesh
+    mesh = None
+    if opts["numproc"] and opts["numproc"] > 1:
+        from ..parallel.shardesa import numproc_mesh
+
+        mesh = numproc_mesh(opts["numproc"])
     ms = esa.multiseq
     ev = Evalues(1.0 / esa.alpha.num_regular)
     mp = MatchParams(
@@ -555,7 +563,7 @@ def run(argv: list[str], out=None) -> int:
                     "vmatch: supermaximal repeat search does not "
                     "allow query files in index"
                 )
-            raw = find_supermax(esa, opts["l"])
+            raw = find_supermax(esa, opts["l"], mesh=mesh)
             mt = process_final(raw, ms, ev, mp)
             return finish(mt, raw=raw)
         if opts["tandem"]:
@@ -668,7 +676,8 @@ def run(argv: list[str], out=None) -> int:
                     query_starts=starts,
                 )
             return exact_complete_matches(
-                esa, ps, flags_extra=flags, query_starts=starts
+                esa, ps, flags_extra=flags, query_starts=starts,
+                mesh=mesh,
             )
 
         tables: list[MatchTable] = []
@@ -733,7 +742,10 @@ def run(argv: list[str], out=None) -> int:
 
 
 def main() -> None:
-    sys.exit(run(sys.argv[1:]))
+    try:
+        sys.exit(run(sys.argv[1:]))
+    except BrokenPipeError:  # e.g. piped into head
+        sys.exit(0)
 
 
 if __name__ == "__main__":

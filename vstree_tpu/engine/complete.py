@@ -516,6 +516,7 @@ def exact_complete_matches(
     query_seqnums: np.ndarray | None = None,
     flags_extra: int = 0,
     query_starts: np.ndarray | None = None,
+    mesh=None,
 ) -> MatchTable:
     """All exact whole-pattern occurrences for a batch of patterns.
 
@@ -541,7 +542,12 @@ def exact_complete_matches(
         # comparisons always differ
         patterns[i, : p.size] = p.astype(np.int32)
 
-    lo, hi = exact_interval_lookup(esa, patterns, plens)
+    if mesh is not None:
+        from ..parallel.shardesa import exact_interval_lookup_sharded
+
+        lo, hi = exact_interval_lookup_sharded(esa, patterns, plens, mesh)
+    else:
+        lo, hi = exact_interval_lookup(esa, patterns, plens)
     counts = np.maximum(hi - lo, 0)
     total = int(counts.sum())
     if total == 0:

@@ -87,11 +87,22 @@ def supermax_intervals(
     return left[ok], right[ok], depth[ok].astype(np.int64)
 
 
-def find_supermax(esa: ESA, searchlength: int) -> MatchTable:
+def find_supermax(
+    esa: ESA, searchlength: int, mesh=None
+) -> MatchTable:
     """All supermaximal repeat pairs, reference emission order
     (fsuper.c:105-124: per interval, pairs (s, t) with s < t in rank
-    order; positions swapped so position1 < position2, fself.c:23-32)."""
-    left, right, depth = supermax_intervals(esa, searchlength)
+    order; positions swapped so position1 < position2, fself.c:23-32).
+
+    With ``mesh`` the interval detection runs as the rank-sharded scan
+    program (parallel/shardesa.py) — identical output."""
+    if mesh is not None:
+        from ..parallel.shardesa import supermax_intervals_sharded
+
+        left, right, depth = supermax_intervals_sharded(
+            esa, searchlength, mesh)
+    else:
+        left, right, depth = supermax_intervals(esa, searchlength)
     k = right - left + 1
     npairs = (k * (k - 1)) // 2
     total = int(npairs.sum())

@@ -140,13 +140,23 @@ def _suffix_sort_device(text: jax.Array, n: int):
     return si
 
 
-def suffix_sort(text_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def suffix_sort(
+    text_np: np.ndarray, mesh=None
+) -> tuple[np.ndarray, np.ndarray]:
     """Sort all suffixes of the encoded text.
 
     Returns ``(suftab, stitab)`` as int32 arrays of length n+1:
     ``suftab[r]`` = start position of the rank-r suffix (with
     ``suftab[n] = n``, the sentinel) and ``stitab`` its inverse.
+
+    With ``mesh`` (a jax.sharding.Mesh over >1 device) every O(n)
+    array is laid out over the mesh and the doubling sort runs as an
+    XLA distributed sort (parallel/shardesa.py).
     """
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        from ..parallel.shardesa import suffix_sort_sharded
+
+        return suffix_sort_sharded(text_np, mesh)
     n = int(text_np.size)
     if n == 0:
         return np.array([0], np.int32), np.array([0], np.int32)
@@ -186,29 +196,50 @@ def _lcp_round(text, a, b, lcp, active, w: int, n: int):
 
 
 def lcp_from_pairs(
-    text_np: np.ndarray, a_np: np.ndarray, b_np: np.ndarray
+    text_np: np.ndarray, a_np: np.ndarray, b_np: np.ndarray, mesh=None
 ) -> np.ndarray:
     """Longest common prefix of suffix pairs (a[i], b[i]), vectorized.
 
     Used both for the lcp table (adjacent rank pairs) and by engines
-    needing ad-hoc lcp values.
+    needing ad-hoc lcp values.  With ``mesh`` the pair arrays are
+    sharded over the devices (embarrassingly pair-parallel).
     """
     n = int(text_np.size)
     m = int(a_np.size)
     if m == 0:
         return np.zeros(0, np.int32)
+    mpad = m
+    if mesh is not None:
+        ndev = int(np.prod(list(mesh.shape.values())))
+        mpad = ((m + ndev - 1) // ndev) * ndev
+        if mpad != m:
+            # pad pairs with (0, n): the out-of-range side makes the
+            # pair mismatch immediately (lcp 0, inactive after round 1)
+            a_np = np.concatenate([a_np, np.zeros(mpad - m, a_np.dtype)])
+            b_np = np.concatenate(
+                [b_np, np.full(mpad - m, n, b_np.dtype)])
     text = jnp.asarray(text_np)
     a = jnp.asarray(a_np, dtype=jnp.int32)
     b = jnp.asarray(b_np, dtype=jnp.int32)
-    lcp = jnp.zeros(m, jnp.int32)
-    active = jnp.ones(m, bool)
+    lcp = jnp.zeros(mpad, jnp.int32)
+    active = jnp.ones(mpad, bool)
+    if mesh is not None:
+        import jax
+
+        from ..parallel.shardesa import flat_spec
+
+        spec = flat_spec(mesh)
+        a = jax.device_put(a, spec)
+        b = jax.device_put(b, spec)
+        lcp = jax.device_put(lcp, spec)
+        active = jax.device_put(active, spec)
     w = 32
     # device rounds while a meaningful fraction of pairs is active
     for _ in range(8):
         lcp, active = _lcp_round(text, a, b, lcp, active, w, n)
         n_active = int(jnp.sum(active))
         if n_active == 0:
-            return np.asarray(lcp)
+            return np.asarray(lcp)[:m]
         if n_active < max(1024, m // 256):
             break
         if w < 256:
@@ -225,10 +256,12 @@ def lcp_from_pairs(
             pb += 1
             d += 1
         lcp_h[idx] = d
-    return lcp_h
+    return lcp_h[:m]
 
 
-def lcp_table(text_np: np.ndarray, suftab: np.ndarray) -> np.ndarray:
+def lcp_table(
+    text_np: np.ndarray, suftab: np.ndarray, mesh=None
+) -> np.ndarray:
     """lcp[r] = lcp(suffix at rank r-1, suffix at rank r); lcp[0] = 0.
 
     int32[n+1]; the on-disk 1-byte + exceptions encoding is applied at
@@ -237,7 +270,8 @@ def lcp_table(text_np: np.ndarray, suftab: np.ndarray) -> np.ndarray:
     n = int(text_np.size)
     lcp = np.zeros(n + 1, np.int32)
     if n >= 1:
-        lcp[1:] = lcp_from_pairs(text_np, suftab[:-1], suftab[1:])
+        lcp[1:] = lcp_from_pairs(text_np, suftab[:-1], suftab[1:],
+                                 mesh=mesh)
     return lcp
 
 
@@ -357,11 +391,13 @@ def build_esa(
     prefixlength: int | None = None,
     demand: tuple[str, ...] = ("suf", "lcp", "bwt", "bck", "sti"),
     indexname: str = "",
+    mesh=None,
 ) -> ESA:
     """Build the enhanced suffix array for a Multiseq.
 
     Equivalent of reference ``mkvtreeprocess`` (mkvprocess.c:875-1089)
-    minus file output (see io.write_index for that).
+    minus file output (see io.write_index for that).  ``mesh`` shards
+    the sort and lcp passes over a device mesh (parallel/shardesa.py).
     """
     text = multiseq.sequence
     n = int(text.size)
@@ -369,7 +405,7 @@ def build_esa(
     if prefixlength is None:
         prefixlength = recommended_prefixlength(numofchars, max(n, 1))
 
-    suftab, stitab = suffix_sort(text)
+    suftab, stitab = suffix_sort(text, mesh=mesh)
     esa = ESA(
         multiseq=multiseq,
         alpha=alpha,
@@ -380,7 +416,7 @@ def build_esa(
         indexname=indexname,
     )
     if "lcp" in demand:
-        esa.lcptab = lcp_table(text, suftab)
+        esa.lcptab = lcp_table(text, suftab, mesh=mesh)
         esa.maxbranchdepth = int(esa.lcptab.max()) if n > 0 else 0
         esa.largelcpvalues = int((esa.lcptab >= 255).sum())
     if "bwt" in demand:
@@ -389,6 +425,6 @@ def build_esa(
         esa.bcktab = bck_table(text, numofchars, prefixlength)
     if "skp" in demand:
         if esa.lcptab is None:
-            esa.lcptab = lcp_table(text, suftab)
+            esa.lcptab = lcp_table(text, suftab, mesh=mesh)
         esa.skptab = skip_table(esa.lcptab)
     return esa
