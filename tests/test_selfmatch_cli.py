@@ -143,3 +143,38 @@ def test_mumself_and_crossing_parity(dbq_indexes, task):
         assert body(ref) == body(ours)
     else:
         assert body_sorted(ref) == body_sorted(ours)
+
+
+def test_ref_order_computed_key_equals_simulator(rng):
+    """The vectorized computed-emission-key path (repeats.py
+    maximal_pairs_ref_order_vec) must replicate the stack simulator
+    (the differential oracle for vmatfind.c order) exactly, including
+    deep nesting and special chars."""
+    import numpy as np
+
+    from vstree_tpu.core.alphabet import dna_alphabet
+    from vstree_tpu.core.multiseq import Multiseq
+    from vstree_tpu.engine.repeats import (
+        find_maximal_pairs_ref,
+        find_maximal_pairs_ref_sim,
+    )
+    from vstree_tpu.index.build import build_esa
+
+    for sig in (2, 4):
+        n = 2000
+        text = rng.integers(0, sig, size=n).astype(np.uint8)
+        text[rng.choice(n, 8, replace=False)] = 254
+        text[rng.choice(n, 3, replace=False)] = 255
+        ms = Multiseq(
+            sequence=text,
+            markpos=np.flatnonzero(text == 255).astype(np.int64),
+        )
+        ms.totallength = n
+        esa = build_esa(ms, dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        for L in (2, 3, 6):
+            a = find_maximal_pairs_ref_sim(esa, L)
+            b = find_maximal_pairs_ref(esa, L)
+            for f in ("length1", "position1", "position2", "length2"):
+                assert np.array_equal(getattr(a, f), getattr(b, f)), \
+                    (sig, L, f)

@@ -225,7 +225,119 @@ def find_tandems(esa: ESA, searchlength: int) -> MatchTable:
 
 
 # ---------------------------------------------------------------------
-# Reference-emission-order enumeration
+# Reference emission order as a computed sort key (vectorized)
+# ---------------------------------------------------------------------
+#
+# The reference streams pairs through the bottom-up traversal
+# (vdfstrav.c:248-420 + vmatfind.c processleafedge/processbranch).  Its
+# emission order decomposes into a per-pair sort key, so the TPU-native
+# path can enumerate pairs with flat array ops and restore the exact
+# order with one lexsort:
+#
+# For a pair of ranks (i < j) with LCA depth d = min lcp(i+1..j):
+#
+# 1. event time t = first rank r >= j with lcp[r+1] <= d — the scan
+#    step at which the subtree containing j merges into the LCA (the
+#    lcp-interval pop; t == j iff j attaches as a direct leaf edge).
+# 2. within one scan step, pops cascade deepest-first: d DESCENDING.
+# 3. within one merge event, emission iterates the father's per-char
+#    position windows in class order then the unique list
+#    (vmatfind.c:241-290 cartproduct1/2; windows accumulate in rank
+#    order): order by (class(i), class(j), rank_i, rank_j), where
+#    class = bwt char for regular left context, sigma for the unique
+#    list (specials + suffix 0), EXCEPT son-unique pairs which loop
+#    u-outer/p-inner (vmatfind.c:282-285): (rank_j, rank_i) there.
+
+
+def _pair_event_times(lcp_rmq: "LcpRmq", j_rank, d, run_right):
+    """first r >= j with lcp[r+1] <= d, vectorized binary search on
+    the range-minimum table (monotone in r; bounded by the enclosing
+    lcp>=L run, whose right boundary satisfies the predicate)."""
+    lo = j_rank.copy()
+    hi = run_right.copy()
+    while True:
+        open_ = lo < hi
+        if not open_.any():
+            break
+        mid = (lo + hi) // 2
+        sel = open_
+        cond = np.zeros(lo.size, bool)
+        cond[sel] = lcp_rmq.query(
+            (j_rank[sel] + 1).astype(np.int64),
+            (mid[sel] + 1).astype(np.int64),
+        ) <= d[sel]
+        hi = np.where(open_ & cond, mid, hi)
+        lo = np.where(open_ & ~cond, mid + 1, lo)
+    return lo
+
+
+def maximal_pairs_ref_order_vec(
+    esa: ESA, searchlength: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(d, rank_i, rank_j) of all maximal pairs in the exact reference
+    emission order, computed by flat array ops + one lexsort (no
+    traversal, no Python stack)."""
+    L = max(searchlength, 1)
+    lcp = esa.lcptab
+    left, right = _l_runs(lcp, L)
+    if left.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    m = right - left + 1
+    rmq = LcpRmq(lcp)
+    keys = _diverse_keys(esa)
+    sigma = esa.alpha.num_regular
+    # class: regular bwt char < sigma; anything else (wildcards,
+    # UNDEFBWTCHAR at rank `longest`) joins the unique list (class
+    # sigma), matching _addpos base >= sigma (vmatfind.c:334-340)
+    cls = np.where(keys < sigma, keys, sigma).astype(np.int64)
+
+    out_d, out_i, out_j, out_key = [], [], [], []
+    npairs_runs = (m * (m - 1)) // 2
+    # iterate chunks but keep a global sort at the end (events never
+    # cross runs, so per-chunk sorting would also be valid as long as
+    # chunks split on run boundaries — which _iter_pair_chunks does)
+    offset = 0
+    order_chunks = []
+    for lchunk, mchunk in _iter_pair_chunks(left, m):
+        i_rank, j_rank = _expand_pairs(lchunk, mchunk)
+        diverse = keys[i_rank] != keys[j_rank]
+        i_rank, j_rank = i_rank[diverse], j_rank[diverse]
+        if i_rank.size == 0:
+            continue
+        d = rmq.query(i_rank + 1, j_rank).astype(np.int64)
+        # run right boundary per pair: runs are disjoint and chunks
+        # split on run boundaries; recover via searchsorted
+        ridx = np.searchsorted(lchunk, i_rank, side="right") - 1
+        rr_all = lchunk + mchunk - 1
+        run_right = rr_all[ridx]
+        t = _pair_event_times(rmq, j_rank, d, run_right)
+        F = cls[i_rank]
+        S = cls[j_rank]
+        swap = (F < sigma) & (S == sigma)
+        X = np.where(swap, j_rank, i_rank)
+        Y = np.where(swap, i_rank, j_rank)
+        # father-regular: class-of-son outer, father list inner
+        # (vmatfind.c:270-281) -> (F, S, X, Y); father-unique: fu
+        # outer, then class of son (vmatfind.c:286-290) -> (F, X, S, Y)
+        A = np.where(F == sigma, X, S)
+        Bk = np.where(F == sigma, S, X)
+        order = np.lexsort((Y, Bk, A, F, -d, t))
+        out_d.append(d[order])
+        out_i.append(i_rank[order])
+        out_j.append(j_rank[order])
+        # chunk-major is correct: chunks split on run boundaries and
+        # runs emit in rank order (event times are within-run)
+    if not out_d:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return (np.concatenate(out_d), np.concatenate(out_i),
+            np.concatenate(out_j))
+
+
+# ---------------------------------------------------------------------
+# Reference-emission-order enumeration (stack simulator — retained as
+# the differential test oracle for the computed-key path above)
 # ---------------------------------------------------------------------
 
 # GETLEFTCHAR at rank `longest` yields INITIALCHAR = alphabetsize+1
@@ -402,7 +514,20 @@ def maximal_pairs_ref_order(esa: ESA, searchlength: int):
 def find_maximal_pairs_ref(esa: ESA, searchlength: int) -> MatchTable:
     """find_maximal_pairs with the reference's exact emission order
     (processexactselfmatch normalizes each pair to (min, max) —
-    ACCEPTMATCH, fself.c:23-32)."""
+    ACCEPTMATCH, fself.c:23-32).  Vectorized: pair enumeration by
+    run/RMQ expansion + the computed emission key, no traversal."""
+    d, ri, rj = maximal_pairs_ref_order_vec(esa, searchlength)
+    if d.size == 0:
+        return MatchTable()
+    p1 = esa.suftab[ri].astype(np.int64)
+    p2 = esa.suftab[rj].astype(np.int64)
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    return _pairs_to_matchtable(esa, lo, hi, d)
+
+
+def find_maximal_pairs_ref_sim(esa: ESA, searchlength: int) -> MatchTable:
+    """Stack-simulator variant (test oracle for the computed key)."""
     trip = maximal_pairs_ref_order(esa, searchlength)
     tot = len(trip)
     if tot == 0:
