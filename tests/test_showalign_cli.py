@@ -134,3 +134,31 @@ SELF_TASKS = [
 def test_selfmatch_showalign_block_parity(setup, task):
     ref, ours = run_pair(setup, task)
     assert match_blocks(ref) == match_blocks(ours)
+
+
+def _body(s):
+    return [l for l in s.splitlines() if not l.startswith("#")]
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-l", "40", "-exdrop", "3", "-s"],
+    ["-l", "30", "-hxdrop", "2", "-s"],
+    ["-l", "40", "-exdrop", "5", "-s", "abbrev"],
+])
+def test_xdrop_alignment_display_parity(setup, task):
+    """-exdrop/-hxdrop -s alignment blocks byte-identical
+    (output/xdropalign.py vs xdropal2.c onexdropalignment2)."""
+    ref, ours = run_pair(setup, task)
+    assert _body(ref) == _body(ours)
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-supermax", "-l", "25", "-showdesc", "10"],
+    ["-l", "40", "-showdesc", "(2,8)"],
+    ["-supermax", "-l", "25", "-f"],
+])
+def test_showdesc_and_filename_parity(setup, task):
+    ref, ours = run_pair(setup, task)
+    assert _body(ref) == _body(ours)

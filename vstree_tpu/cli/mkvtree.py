@@ -150,6 +150,13 @@ def run(argv: list[str]) -> int:
     if opts["v"]:
         print(f"# dbfile={files[0]} {ms.totallength} symbols")
         print(f"# prefixlength={pl}")
+        if opts["maxdepth"] is not None:
+            # the prefix-doubling sort always completes the order; the
+            # reference's -maxdepth (bounded Bentley-Sedgewick depth +
+            # remainsort completion, remainsort.c) is a performance
+            # hint with no effect on the index content here
+            print("# maxdepth accepted (sort always completes; "
+                  "index content unaffected)")
     mesh = None
     if opts["numproc"] and opts["numproc"] > 1:
         from ..parallel.shardesa import numproc_mesh

@@ -64,7 +64,7 @@ def parse_args(argv: list[str]) -> dict:
         "evalue": None, "identity": None, "leastscore": None,
         "supermax": False, "mum": False, "tandem": False, "i": False,
         "v": False, "s": None, "sort": None, "showdesc": None,
-        "numproc": None,
+        "f": False, "selfun": None, "numproc": None,
         "args": argv[:],
     }
     i = 0
@@ -252,7 +252,52 @@ def parse_args(argv: list[str]) -> dict:
             opts["nonredundant"] = argv[i]
             i += 1
             continue
-        if key in ("sort", "showdesc", "selfun", "f"):
+        if key == "f":
+            # -f: show filename where match occurs (parsevm.c:833-834,
+            # SHOWFILE)
+            opts["f"] = True; i += 1; continue
+        if key == "showdesc":
+            # parsedescparameters (parsevm.c:587-620): one mandatory
+            # argument: maxlength or (skipprefix,maxlength)
+            import re as _re
+
+            if i + 1 >= len(argv) - 1:
+                raise SystemExit(
+                    "vmatch: missing argument for option -showdesc")
+            i += 1
+            arg = argv[i]
+            sd = {"skipprefix": 0, "maxlength": 0,
+                  "untilfirstblank": False, "replaceblanks": True}
+            m = _re.fullmatch(r"\((\d+),(\d+)\)", arg)
+            if m:
+                sd["skipprefix"] = int(m.group(1))
+                sd["maxlength"] = int(m.group(2))
+            elif _re.fullmatch(r"\d+", arg):
+                sd["maxlength"] = int(arg)
+            else:
+                raise SystemExit(
+                    f'vmatch: incorrect argument "{arg}" to option '
+                    "-showdesc: must be either single number or pair "
+                    "(skipprefix,maxlength) of non-negative integers")
+            if sd["maxlength"] == 0:
+                sd["untilfirstblank"] = True
+            opts["showdesc"] = sd
+            i += 1; continue
+        if key == "selfun":
+            # -selfun <module.py> [args...]: Python selection-function
+            # module implementing the select.h:41-50 hook protocol
+            if i + 1 >= len(argv) - 1:
+                raise SystemExit(
+                    "vmatch: missing argument for option -selfun")
+            i += 1
+            opts["selfun"] = argv[i]
+            i += 1
+            sargs = []
+            while i < len(argv) - 1 and not argv[i].startswith("-"):
+                sargs.append(argv[i]); i += 1
+            opts["selfun_args"] = sargs
+            continue
+        if key == "sort":
             if i + 1 < len(argv) and not argv[i + 1].startswith("-") \
                     and i + 1 < len(argv) - 1:
                 opts[key] = argv[i + 1]; i += 1
@@ -332,6 +377,10 @@ def run(argv: list[str], out=None) -> int:
     showmode = 0
     if opts["absolute"]:
         showmode |= SHOWABSOLUTE
+    if opts["f"]:
+        from ..output.render import SHOWFILE
+
+        showmode |= SHOWFILE
     if opts["nodist"]:
         showmode |= SHOWNODIST
     if opts["noevalue"]:
@@ -340,6 +389,36 @@ def run(argv: list[str], out=None) -> int:
         showmode |= SHOWNOSCORE
     if opts["noidentity"]:
         showmode |= SHOWNOIDENTITY
+
+    hooks = None
+    if opts["selfun"] is not None:
+        # Python analog of the dlopen selection-function plugin
+        # (reference Vmatch/opensel.c + include/select.h:41-50): the
+        # module may define selectmatch_header/init/match/wrap/
+        # final_table
+        import importlib.util
+
+        from ..engine.funnel import SelectionHooks
+
+        spec = importlib.util.spec_from_file_location(
+            "vmatch_selfun", opts["selfun"])
+        if spec is None or spec.loader is None:
+            raise SystemExit(
+                f"vmatch: cannot load selection module "
+                f"{opts['selfun']!r}")
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        hooks = SelectionHooks(
+            header=getattr(module, "selectmatch_header", None),
+            init=getattr(module, "selectmatch_init", None),
+            match=getattr(module, "selectmatch", None),
+            wrap=getattr(module, "selectmatch_wrap", None),
+            final_table=getattr(module, "selectmatch_finaltable", None),
+        )
+        if hooks.header is not None:
+            hooks.header(argv, opts.get("selfun_args", []))
+        if hooks.init is not None:
+            hooks.init(esa.alpha, ms, None)
 
     if opts.get("maskchar") is None:
         # masking mode replaces the match funnel output entirely,
@@ -503,7 +582,12 @@ def run(argv: list[str], out=None) -> int:
                 mt, _ = remove_contained(mt)
                 if opts["sort"] != "ia":
                     mt = sort_matches(mt, opts["sort"])
-        lines = render_matches(mt, ms, digits, showmode, query)
+        if hooks is not None and hooks.final_table is not None:
+            mt = hooks.final_table(mt) or mt
+        lines = render_matches(mt, ms, digits, showmode, query,
+                               showdesc=opts["showdesc"])
+        if hooks is not None and hooks.wrap is not None:
+            hooks.wrap(esa.alpha, ms, query)
         if opts["s"] is not None:
             # echomatch2file with showstring > 0 (echomatch.c:1036-1086):
             # row, newline, alignment text, newline
@@ -564,7 +648,7 @@ def run(argv: list[str], out=None) -> int:
                     "allow query files in index"
                 )
             raw = find_supermax(esa, opts["l"], mesh=mesh)
-            mt = process_final(raw, ms, ev, mp)
+            mt = process_final(raw, ms, ev, mp, selection=hooks)
             return finish(mt, raw=raw)
         if opts["tandem"]:
             if opts["l"] is None:
@@ -577,7 +661,7 @@ def run(argv: list[str], out=None) -> int:
                     "query files in index"
                 )
             raw = find_tandems(esa, opts["l"])
-            mt = process_final(raw, ms, ev, mp)
+            mt = process_final(raw, ms, ev, mp, selection=hooks)
             return finish(mt, raw=raw)
         if opts["mum"]:
             # self variant: maximal unique matches between the
@@ -593,7 +677,7 @@ def run(argv: list[str], out=None) -> int:
             from ..engine.mumself import find_mum_self
 
             raw = find_mum_self(esa, opts["l"])
-            mt = process_final(raw, ms, ev, mp)
+            mt = process_final(raw, ms, ev, mp, selection=hooks)
             return finish(mt, raw=raw)
         if opts["l"] is not None or xdrop is not None:
             k_h = opts.get("h")
@@ -626,7 +710,7 @@ def run(argv: list[str], out=None) -> int:
             else:
                 mt = _cross_filter(find_maximal_pairs_ref(esa, opts["l"]))
             raw = mt
-            mt = process_final(mt, ms, ev, mp)
+            mt = process_final(mt, ms, ev, mp, selection=hooks)
             return finish(mt, raw=raw)
         raise SystemExit("vmatch: task not implemented yet")
 
@@ -688,7 +772,8 @@ def run(argv: list[str], out=None) -> int:
             tables.append(run_pats(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
         raw = allmt
-        allmt = process_final(allmt, ms, ev, mp, query=query)
+        allmt = process_final(allmt, ms, ev, mp, query=query,
+                              selection=hooks)
         return finish(allmt, query=query, raw=raw)
 
     if opts["l"] is not None or xdrop is not None:
@@ -735,7 +820,8 @@ def run(argv: list[str], out=None) -> int:
             tables.append(run_q(qrc, FLAGPALINDROMIC))
         allmt = MatchTable.concat(tables)
         raw = allmt
-        allmt = process_final(allmt, ms, ev, mp, query=query)
+        allmt = process_final(allmt, ms, ev, mp, query=query,
+                              selection=hooks)
         return finish(allmt, query=query, raw=raw)
 
     raise SystemExit("vmatch: task not implemented yet")

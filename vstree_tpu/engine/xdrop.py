@@ -29,7 +29,7 @@ import numpy as np
 from ..core.chardef import SEPARATOR, WILDCARD
 from ..ops.lce import lce_two_texts
 from .gextend import Seqs
-from .match import MatchTable
+from .match import FLAGXDROP, MatchTable
 
 NEG = -(1 << 40)           # MINUSINFINITYSCORE analog
 MATCHSCORE = 2
@@ -389,6 +389,10 @@ def xdrop_extend_seeds(
     out.length1 = l1[keep]
     out.length2 = l2[keep]
     out.distance = dist[keep]
+    # mark as x-drop matches (SETFLAGXDROP, mparms.h:67): the -s
+    # display path re-derives the alignment with onexdropalignment2
+    # semantics (output/xdropalign.py) instead of the greedy aligner
+    out.flag = out.flag | FLAGXDROP
     if querycompare:
         # relpos2 shifts with the left extension (xdropext.c:213-217)
         out.relpos2 = out.relpos2 - (pos2[keep] - p2[keep])

@@ -212,6 +212,18 @@ def read_index(
     ms = Multiseq(sequence=text, totallength=n)
     ms.numofsequences = meta["numofsequences"]
     ms.numofquerysequences = meta.get("numofquerysequences", 0)
+    # restore file bookkeeping from the dbfile= lines (SHOWFILE output
+    # and query partitioning need filenames + separator positions)
+    total = 0
+    for i, (fname, flen, contrib) in enumerate(meta["dbfiles"]):
+        ms.filenames.append(fname)
+        ms.filelengths.append(flen)
+        if i == len(meta["dbfiles"]) - 1:
+            ms.filesep.append(0xFFFFFFFF)
+        else:
+            total += contrib
+            ms.filesep.append(total)
+            total += 1
     if os.path.exists(indexname + ".ssp") and ms.numofsequences > 1:
         ms.markpos = np.fromfile(indexname + ".ssp", _U64).astype(np.uint32)
     if ms.numofquerysequences > 0:

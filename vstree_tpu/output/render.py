@@ -113,12 +113,34 @@ def format_evalue(v: float) -> str:
     return "   " + s
 
 
+def format_description(ms: Multiseq, seqnum: int, sd: dict) -> str:
+    """echothedescription (multiseq-adv.c:1462-1501): skipprefix /
+    maxlength window, blanks replaced by underscores or truncating."""
+    desc = ms.description(seqnum)
+    if desc is None or not ms.descriptions:
+        return f"sequence{seqnum}"
+    ln = len(desc)
+    if sd["maxlength"] > 0 and sd["maxlength"] + sd["skipprefix"] < ln:
+        ln = sd["maxlength"] + sd["skipprefix"]
+    out = []
+    for ch in desc[sd["skipprefix"]:ln]:
+        c = chr(ch)
+        if c.isspace():
+            if sd["untilfirstblank"]:
+                break
+            out.append("_" if sd["replaceblanks"] else c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def render_matches(
     mt: MatchTable,
     ms: Multiseq,
     digits: Digits,
     showmode: int = 0,
     query: Multiseq | None = None,
+    showdesc: dict | None = None,
 ) -> list[str]:
     """Render match rows (vmatchnormaloutmatch)."""
     lines = []
@@ -134,6 +156,14 @@ def render_matches(
             parts.append(f" {ms.filenames[fnum]}")
         if showmode & SHOWABSOLUTE:
             parts.append(f" {mt.position1[i]:>{digits.position1}}")
+        elif showdesc is not None:
+            # echopospair (echomatch.c:86-111): "   " + description
+            # (unpadded) + " %*lu" relpos
+            parts.append(
+                "   " + format_description(ms, int(mt.seqnum1[i]),
+                                           showdesc)
+                + f" {mt.relpos1[i]:>{digits.position1}}"
+            )
         else:
             parts.append(
                 f"    {mt.seqnum1[i]:>{digits.seqnum1}}"
@@ -152,6 +182,20 @@ def render_matches(
             parts.append(f" {ms2.filenames[fnum]}")
         if showmode & SHOWABSOLUTE:
             parts.append(f" {mt.position2[i]:>{digits.position2}}")
+        elif showdesc is not None:
+            # descindex rebase for self matches on indexed queries
+            # (echomatch.c:206-216)
+            if is_query and query is not None:
+                dms, didx = query, int(mt.seqnum2[i])
+            elif ms.numofquerysequences > 0:
+                dms = ms
+                didx = int(mt.seqnum2[i]) + ms.num_db_sequences
+            else:
+                dms, didx = ms, int(mt.seqnum2[i])
+            parts.append(
+                "   " + format_description(dms, didx, showdesc)
+                + f" {mt.relpos2[i]:>{digits.position2}}"
+            )
         else:
             parts.append(
                 f"    {mt.seqnum2[i]:>{digits.seqnum2}}"
