@@ -92,3 +92,23 @@ def test_query_xdrop_parity(indexes, task):
     ours = run_ours(task + ["-q", qpath, str(tmp / "ours")],
                     cwd=str(tmp))
     assert sorted(body(ref)) == sorted(body(ours))
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-l", "20", "0", "100"],
+    ["-l", "20", "-5", "50"],
+    ["-l", "25", "100", "5000"],
+    ["-l", "30", "-e", "2", "-allmax"],
+    ["-l", "30", "-h", "2", "-allmax"],
+    ["-l", "40", "-e", "3", "-allmax"],
+])
+def test_boundedgap_and_allmax_parity(indexes, task):
+    """-l lower/upper gap bounds (parsevm.c:536-585 + mokay.c:78-111)
+    and -allmax containment (mcontain.c matchcontainer, two-level
+    container of fself.c:131-142) — byte-identical output."""
+    tmp, _ = indexes
+    ref = run_ref(task + [str(tmp / "ref")])
+    ours = run_ours(task + [str(tmp / "ours")], cwd=str(tmp))
+    assert body(ref) == body(ours)
+    assert len(body(ref)) > 0

@@ -65,6 +65,7 @@ def parse_args(argv: list[str]) -> dict:
         "supermax": False, "mum": False, "tandem": False, "i": False,
         "v": False, "s": None, "sort": None, "showdesc": None,
         "f": False, "selfun": None, "numproc": None,
+        "allmax": False, "lowergap": None, "uppergap": None,
         "args": argv[:],
     }
     i = 0
@@ -82,7 +83,7 @@ def parse_args(argv: list[str]) -> dict:
             continue
         if key in ("complete", "online", "p", "d", "absolute", "nodist",
                    "noevalue", "noscore", "noidentity", "supermax",
-                   "tandem", "i", "v"):
+                   "tandem", "i", "v", "allmax"):
             opts[key] = True; i += 1; continue
         if key == "mum":
             opts["mum"] = True
@@ -95,6 +96,28 @@ def parse_args(argv: list[str]) -> dict:
                 opts[key] = int(argv[i + 1]); i += 1
             else:
                 opts[key] = 0
+            if key == "l":
+                # optional lower/upper gap bounds
+                # (parselowerupperbounds, parsevm.c:536-585)
+                if i + 1 < len(argv) - 1 and _is_number(argv[i + 1]):
+                    i += 1
+                    lower = int(argv[i])
+                    if lower < 0 and -lower > (opts["l"] or 0):
+                        raise SystemExit(
+                            "vmatch: if second argument is negative, "
+                            "the absolute value must not be larger "
+                            "than the user defined leastlength")
+                    opts["lowergap"] = lower
+                    if i + 1 < len(argv) - 1                             and _is_number(argv[i + 1]):
+                        i += 1
+                        upper = int(argv[i])
+                        if upper < lower:
+                            raise SystemExit(
+                                f'vmatch: optional second argument '
+                                f'"{upper}" of option -l must be '
+                                f'greater or equal than first '
+                                f'argument "{lower}"')
+                        opts["uppergap"] = upper
             i += 1; continue
         if key in ("h", "e", "exdrop", "hxdrop", "leastscore",
                    "identity", "numproc"):
@@ -373,7 +396,22 @@ def run(argv: list[str], out=None) -> int:
         identity=opts["identity"] or 0.0,
         leastscore=opts["leastscore"],
         maxevalue=opts["evalue"],
+        lowergaplength=opts["lowergap"],
+        uppergaplength=opts["uppergap"],
     )
+    if opts["allmax"] and opts["best"] is not None:
+        raise SystemExit(
+            "vmatch: option -allmax and option -best exclude each "
+            "other")
+    if opts["allmax"] and opts["sort"] is not None:
+        raise SystemExit(
+            "vmatch: option -sort and option -allmax exclude each "
+            "other")
+    if opts["allmax"] and opts.get("h") is None \
+            and opts.get("e") is None:
+        # OPTIONIMPLYEITHER2(OPTALLMAX,OPTHDIST,OPTEDIST)
+        raise SystemExit(
+            "vmatch: option -allmax requires option -h or option -e")
     showmode = 0
     if opts["absolute"]:
         showmode |= SHOWABSOLUTE
@@ -702,11 +740,12 @@ def run(argv: list[str], out=None) -> int:
                 if k_e is not None:
                     mt = edit_extend_seeds(
                         sq, ev, seeds, k, opts["l"], seedlength,
-                        querycompare=False, selfmode=True)
+                        querycompare=False, selfmode=True,
+                        allmax=opts["allmax"])
                 else:
                     mt = hamming_extend_seeds(
                         sq, ev, seeds, k, opts["l"], seedlength,
-                        querycompare=False)
+                        querycompare=False, allmax=opts["allmax"])
             else:
                 mt = _cross_filter(find_maximal_pairs_ref(esa, opts["l"]))
             raw = mt
@@ -807,10 +846,11 @@ def run(argv: list[str], out=None) -> int:
             if k_e is not None:
                 return edit_extend_seeds(
                     sq, ev, seeds, k, opts["l"], seedlength,
-                    querycompare=True, selfmode=False)
+                    querycompare=True, selfmode=False,
+                    allmax=opts["allmax"])
             return hamming_extend_seeds(
                 sq, ev, seeds, k, opts["l"], seedlength,
-                querycompare=True)
+                querycompare=True, allmax=opts["allmax"])
 
         tables = []
         if direct_on:

@@ -258,6 +258,7 @@ def hamming_extend_seeds(
     leastlength: int,
     seedlength: int,
     querycompare: bool,
+    allmax: bool = False,
 ) -> MatchTable:
     """Best Hamming extension per seed (hammingextend,
     extendHD.c:167-375)."""
@@ -283,6 +284,8 @@ def hamming_extend_seeds(
     best_ll = np.zeros(S, np.int64)
     best_dist = np.zeros(S, np.int64)
     found = np.zeros(S, bool)
+    cand: list = []
+    combo_counter = 0
 
     for dist in range(0, maxdist + 1):
         for li in range(0, dist + 1):
@@ -296,6 +299,15 @@ def hamming_extend_seeds(
             ok = ok & (ext >= remain)
             if not ok.any():
                 continue
+            if allmax:
+                idx = np.flatnonzero(ok)
+                cand.append((idx, (pos1 - ll)[idx], (pos2 - ll)[idx],
+                             length[idx], length[idx],
+                             np.full(idx.size, -dist, np.int64),
+                             np.full(idx.size, combo_counter,
+                                     np.int64)))
+                combo_counter += 1
+                continue
             e = ev.get_batch(np.ones(S), np.full(S, -dist), length)
             ident = 100.0 * (1.0 - dist / np.maximum(length, 1))
             repl = ok & (~found | _better(
@@ -307,6 +319,20 @@ def hamming_extend_seeds(
             best_dist = np.where(repl, -dist, best_dist)
             found |= repl
 
+    if allmax:
+        if not cand:
+            return MatchTable()
+        sidx = np.concatenate([c[0] for c in cand])
+        return apply_allmax_containers(
+            seeds, sidx,
+            np.concatenate([c[6] for c in cand]),
+            np.concatenate([c[1] for c in cand]),
+            np.concatenate([c[2] for c in cand]),
+            np.concatenate([c[3] for c in cand]),
+            np.concatenate([c[4] for c in cand]),
+            np.concatenate([c[5] for c in cand]),
+            querycompare, seeds.position2.astype(np.int64),
+        )
     if not found.any():
         return MatchTable()
     out = seeds.select(found)
@@ -473,6 +499,7 @@ def edit_extend_seeds(
     seedlength: int,
     querycompare: bool,
     selfmode: bool,
+    allmax: bool = False,
 ) -> MatchTable:
     """Best edit-distance extension per seed (editextend,
     extendED.c:78-355)."""
@@ -517,6 +544,8 @@ def edit_extend_seeds(
         "dist": np.zeros(S, np.int64),
     }
     ks = np.arange(-maxdist, maxdist + 1, dtype=np.int64)
+    cand: list = []          # -allmax emission stream
+    combo_counter = 0
 
     for dist in range(0, maxdist + 1):
         for li in range(max(0, dist - maxdist), dist + 1):
@@ -575,6 +604,17 @@ def edit_extend_seeds(
                         ok = ok & acc
                     if not ok.any():
                         continue
+                    if allmax:
+                        # collect the full emission stream in the
+                        # reference iteration order (extendED.c:289ff)
+                        idx = np.flatnonzero(ok)
+                        cand.append((idx, p1[idx], p2[idx], l1[idx],
+                                     l2[idx],
+                                     np.full(idx.size, dist, np.int64),
+                                     np.full(idx.size, combo_counter,
+                                             np.int64)))
+                        combo_counter += 1
+                        continue
                     length = np.maximum(l1, l2)
                     e = ev.get_batch(
                         np.ones(S), np.full(S, dist), length)
@@ -592,6 +632,20 @@ def edit_extend_seeds(
                         best[name] = np.where(repl, val, best[name])
                     best["found"] |= repl
 
+    if allmax:
+        if not cand:
+            return MatchTable()
+        sidx = np.concatenate([c[0] for c in cand])
+        return apply_allmax_containers(
+            seeds, sidx,
+            np.concatenate([c[6] for c in cand]),
+            np.concatenate([c[1] for c in cand]),
+            np.concatenate([c[2] for c in cand]),
+            np.concatenate([c[3] for c in cand]),
+            np.concatenate([c[4] for c in cand]),
+            np.concatenate([c[5] for c in cand]),
+            querycompare, seeds.position2.astype(np.int64),
+        )
     found = best["found"]
     if not found.any():
         return MatchTable()
@@ -604,4 +658,99 @@ def edit_extend_seeds(
     out.position2 = best["p2"][found]
     if querycompare:
         out.relpos2 = out.relpos2 - (old_p2 - out.position2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# -allmax containment container (kurtz/mcontain.c)
+# ---------------------------------------------------------------------------
+
+
+def _contains(a, b):
+    """CONTAINSMATCH (mcontain.c:23-27): a contains b."""
+    return (a[0] <= b[0] and b[0] + b[1] <= a[0] + a[1]
+            and a[2] <= b[2] and b[2] + b[3] <= a[2] + a[3])
+
+
+def container_insert(store: list, new: tuple) -> None:
+    """matchcontainer (mcontain.c:39-93), including its exact slot-
+    reuse order: a removed old match is overwritten by the LAST array
+    element, and a new match contained by an old after having replaced
+    a removed old stays in the array."""
+    store.append(new)
+    if len(store) == 1:
+        return
+    orig = len(store) - 1
+    end = orig
+    moved = False
+    i = 0
+    while i <= end:
+        if i == orig and not moved:
+            break
+        a = store[i]
+        if _contains(a, new):
+            if not moved:
+                end -= 1
+            break
+        if _contains(new, a):
+            if i != end:
+                store[i] = store[end]
+                if not moved:
+                    moved = True
+                    i += 1
+            end -= 1
+        else:
+            i += 1
+    del store[end + 1:]
+
+
+def apply_allmax_containers(
+    seeds: "MatchTable",
+    seed_idx: np.ndarray,
+    combo: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    l1: np.ndarray,
+    l2: np.ndarray,
+    dist: np.ndarray,
+    querycompare: bool,
+    seed_pos2: np.ndarray,
+) -> "MatchTable":
+    """Two-level -allmax containment (fself.c:131-142 /
+    extendgen.c:37-45): a per-seed container over each seed's emission
+    stream, whose survivors are inserted into the global container;
+    the global container's final array order is the output order."""
+    order = np.lexsort((combo, seed_idx))
+    global_store: list = []
+    cur = -1
+    seed_store: list = []
+
+    def flush():
+        for m in seed_store:
+            container_insert(global_store, m)
+
+    for t in order:
+        sidx = int(seed_idx[t])
+        if sidx != cur:
+            flush()
+            seed_store = []
+            cur = sidx
+        container_insert(
+            seed_store,
+            (int(p1[t]), int(l1[t]), int(p2[t]), int(l2[t]),
+             int(dist[t]), sidx),
+        )
+    flush()
+    if not global_store:
+        return MatchTable()
+    arr = np.asarray([m[:5] for m in global_store], np.int64)
+    sidxs = np.asarray([m[5] for m in global_store], np.int64)
+    out = seeds.select(sidxs)
+    out.position1 = arr[:, 0]
+    out.length1 = arr[:, 1]
+    out.position2 = arr[:, 2]
+    out.length2 = arr[:, 3]
+    out.distance = arr[:, 4]
+    if querycompare:
+        out.relpos2 = out.relpos2 - (seed_pos2[sidxs] - arr[:, 2])
     return out
