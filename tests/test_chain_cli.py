@@ -61,3 +61,44 @@ def test_chain2dim_parity(matchfile, args):
     ).stdout
     assert r == o
     assert len(r) > 0
+
+
+def test_sweep_equals_bruteforce_fuzz(rng):
+    """fastchaining sweep (Fenwick prefix-max) == brute-force scorer
+    (chain2dim.c:776-890, the reference's own oracle) across modes."""
+    import numpy as np
+
+    from vstree_tpu.engine.match import MatchTable
+    from vstree_tpu.postprocess.chain import (
+        GLOBAL, GLOBALGC, LOCALBEST, LOCALMAX, LOCALPERCENT,
+        LOCALTHRESH, ChainMode, chain_fragments,
+    )
+
+    def mk(n):
+        p1 = rng.integers(0, 50000, n).astype(np.int64)
+        l1 = rng.integers(5, 150, n).astype(np.int64)
+        p2 = rng.integers(0, 50000, n).astype(np.int64)
+        l2 = rng.integers(5, 150, n).astype(np.int64)
+        return MatchTable(
+            length1=l1, position1=p1, length2=l2, position2=p2,
+            distance=rng.integers(-3, 4, n).astype(np.int64),
+            flag=np.zeros(n, np.int64),
+            seqnum1=np.zeros(n, np.int64), relpos1=p1.copy(),
+            seqnum2=np.zeros(n, np.int64), relpos2=p2.copy(),
+            evalue=np.zeros(n, float),
+            idnumber=np.zeros(n, np.int64),
+            transnum=np.full(n, -1, np.int64),
+        )
+
+    modes = [ChainMode(GLOBAL), ChainMode(GLOBALGC),
+             ChainMode(LOCALMAX), ChainMode(LOCALTHRESH, minscore=80),
+             ChainMode(LOCALBEST, howmanybest=4),
+             ChainMode(LOCALPERCENT, percentaway=25)]
+    for _ in range(12):
+        mt = mk(int(rng.integers(2, 250)))
+        for m in modes:
+            a = chain_fragments(mt, m)
+            b = chain_fragments(mt, m, _force_brute=True)
+            assert a.scores == b.scores, m.kind
+            assert all(np.array_equal(x, y)
+                       for x, y in zip(a.fragments, b.fragments)), m.kind

@@ -73,7 +73,98 @@ def _fragments_from_matches(mt: MatchTable, mode: ChainMode):
     return s0, e0, s1, e1, weight, init_gap, term_gap
 
 
-def chain_fragments(mt: MatchTable, mode: ChainMode) -> Chains:
+
+
+class _MaxFenwick:
+    """Fenwick tree over compressed keys carrying (value, -index)
+    pairs under max — the sweep dictionary of fastchaining
+    (chain2dim.c:1818; red-black tree there, prefix-max here)."""
+
+    __slots__ = ("n", "t")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.t = [(-(1 << 62), 0)] * (n + 1)
+
+    def update(self, i: int, val):
+        i += 1
+        t = self.t
+        while i <= self.n:
+            if t[i] < val:
+                t[i] = val
+            i += i & (-i)
+
+    def query_prefix(self, i: int):
+        """max over keys [0, i)."""
+        best = (-(1 << 62), 0)
+        t = self.t
+        while i > 0:
+            if t[i] > best:
+                best = t[i]
+            i -= i & (-i)
+        return best
+
+
+def _chain_scores_sweep(n, s0, e0, s1, e1, w, ig, tg, mode, gc, local):
+    """O(n log n) sweep replacement for the brute-force predecessor
+    maximisation: fragments (sorted by s1) are activated when the
+    sweep line passes their e1, a Fenwick dictionary keyed by e0
+    answers max-priority over e0 < s0[j], with priority encoding the
+    j-independent part of the candidate score and ties broken to the
+    smallest fragment index (matching np.argmax first-maximum order of
+    the brute force)."""
+    score = np.zeros(n, np.int64)
+    prev = np.full(n, UNDEF, np.int64)
+    first = np.arange(n, dtype=np.int64)
+    if n == 0:
+        return score, prev, first
+    keys = np.unique(e0)
+    fen = _MaxFenwick(keys.size)
+    e0c = np.searchsorted(keys, e0)
+    act = np.argsort(e1, kind="stable")     # activation order by e1
+    ai = 0
+    NEG = -(1 << 62)
+    for j in range(n):
+        while ai < n and e1[act[ai]] < s1[j]:
+            i = int(act[ai])
+            if i < j:                        # processed fragments only
+                if gc:
+                    pri = score[i] + e0[i] + e1[i] + tg[i]
+                elif local:
+                    pri = score[i] + e0[i] + e1[i]
+                else:
+                    pri = score[i]
+                fen.update(int(e0c[i]), (int(pri), -i))
+                ai += 1
+            else:
+                break
+        hi = int(np.searchsorted(keys, s0[j]))   # keys < s0[j]
+        val, negi = fen.query_prefix(hi)
+        if val <= NEG:
+            score[j] = w[j] - ((ig[j] + tg[j]) if gc else 0)
+            continue
+        i = -negi
+        if gc:
+            score[j] = val - (s0[j] + s1[j]) + w[j] - tg[j]
+            prev[j] = i
+            first[j] = first[i]
+        elif local:
+            base = val - (s0[j] + s1[j])
+            if base > 0:
+                score[j] = base + w[j]
+                prev[j] = i
+                first[j] = first[i]
+            else:
+                score[j] = w[j]
+        else:
+            score[j] = val + w[j]
+            prev[j] = i
+            first[j] = first[i]
+    return score, prev, first
+
+
+def chain_fragments(mt: MatchTable, mode: ChainMode,
+                    _force_brute: bool = False) -> Chains:
     """Compute chains over a match table presorted by position2
     (vmatch presortdim == 1, chainvm.c:256)."""
     order = np.argsort(mt.position2, kind="stable")
@@ -84,6 +175,13 @@ def chain_fragments(mt: MatchTable, mode: ChainMode) -> Chains:
     ov = mode.kind == GLOBALOV
     local = mode.kind in (LOCALMAX, LOCALTHRESH, LOCALBEST,
                           LOCALPERCENT)
+
+    if not ov and not mode.maxgapwidth and not _force_brute:
+        # fastchaining sweep (chain2dim.c:1818): O(n log n)
+        score, prev, first = _chain_scores_sweep(
+            n, s0, e0, s1, e1, w, ig, tg, mode, gc, local)
+        return _retrieve_chains(mt, mode, n, w, ig, tg, gc, local,
+                                score, prev, first)
 
     score = np.zeros(n, np.int64)
     prev = np.full(n, UNDEF, np.int64)
@@ -132,6 +230,14 @@ def chain_fragments(mt: MatchTable, mode: ChainMode) -> Chains:
         else:
             first[j] = first[prev[j]]
 
+    return _retrieve_chains(mt, mode, n, w, ig, tg, gc, local,
+                            score, prev, first)
+
+
+def _retrieve_chains(mt, mode, n, w, ig, tg, gc, local, score, prev,
+                     first) -> Chains:
+    """Chain retrieval (findmaximalscores / retrievechainthreshold,
+    chain2dim.c:1169-1363) from the computed score/prev arrays."""
     # right-maximal chains (isrightmaximallocalchain)
     rightmax = np.ones(n, bool)
     rightmax[:-1] = prev[1:] != np.arange(n - 1)
