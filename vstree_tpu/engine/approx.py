@@ -417,31 +417,44 @@ def _region_detect(
     qidx_parts: list[np.ndarray] = []
     pos_parts: list[np.ndarray] = []
     if doedist:
-        # 3a. per-region reversed cutoff verification, batched over
-        # all queries in one scan of the reversed text
-        resets = np.zeros((n, B), bool)       # reversed-text order
-        inreg = np.zeros((n, B), bool)
-        for qi, rs in merged.items():
-            for a, b in rs:
-                resets[n - 1 - b, qi] = True
-                inreg[n - 1 - b : n - a, qi] = True
+        # 3a. per-region reversed cutoff verification batched over the
+        # queries that own regions, in column chunks bounding the
+        # dense (n, Bc) reset/inregion matrices to ~64 MB (formerly
+        # (n, B) — 1 GB at 1 Mbp x 1000 queries)
+        qs_with = [qi for qi in range(B) if merged.get(qi)]
         M = int(plens.max())
-        patrev = np.full((B, M + 2), -7, np.int32)
-        for qi, p in enumerate(patterns):
-            patrev[qi, 1 : plens[qi] + 1] = p[::-1].astype(np.int32)
-        emits = np.asarray(_ukkonen_cutoff_scan(
-            jnp.asarray(esa.multiseq.sequence[::-1].copy()),
-            jnp.asarray(patrev), jnp.asarray(plens), M, k,
-            resets=jnp.asarray(resets), inregion=jnp.asarray(inreg)))
-        for qi in range(B):
-            col = emits[:, qi]
-            for a, b in merged.get(qi, ()):
-                # reversed rows n-1-b .. n-1-a ascending = positions
-                # b .. a descending (the reference scan direction)
-                rows = np.flatnonzero(col[n - 1 - b : n - a])
-                if rows.size:
-                    qidx_parts.append(np.full(rows.size, qi, np.int64))
-                    pos_parts.append(b - rows.astype(np.int64))
+        text_rev = jnp.asarray(esa.multiseq.sequence[::-1].copy())
+        Bc = max(1, (1 << 26) // max(n, 1))
+        for g0 in range(0, len(qs_with), Bc):
+            grp = qs_with[g0:g0 + Bc]
+            Bg = len(grp)
+            resets = np.zeros((n, Bg), bool)  # reversed-text order
+            inreg = np.zeros((n, Bg), bool)
+            patrev = np.full((Bg, M + 2), -7, np.int32)
+            plg = np.zeros(Bg, np.int32)
+            for gi, qi in enumerate(grp):
+                for a, b in merged[qi]:
+                    resets[n - 1 - b, gi] = True
+                    inreg[n - 1 - b : n - a, gi] = True
+                p = patterns[qi]
+                patrev[gi, 1 : plens[qi] + 1] = p[::-1].astype(np.int32)
+                plg[gi] = plens[qi]
+            emits = np.asarray(_ukkonen_cutoff_scan(
+                text_rev,
+                jnp.asarray(patrev), jnp.asarray(plg), M, k,
+                resets=jnp.asarray(resets),
+                inregion=jnp.asarray(inreg)))
+            for gi, qi in enumerate(grp):
+                col = emits[:, gi]
+                for a, b in merged.get(qi, ()):
+                    # reversed rows n-1-b .. n-1-a ascending =
+                    # positions b .. a descending (the reference scan
+                    # direction)
+                    rows = np.flatnonzero(col[n - 1 - b : n - a])
+                    if rows.size:
+                        qidx_parts.append(
+                            np.full(rows.size, qi, np.int64))
+                        pos_parts.append(b - rows.astype(np.int64))
     else:
         # 3b. hamming region verification: all window starts inside
         # each region, verified in one batch, emitted descending

@@ -239,26 +239,41 @@ def online_complete_matches(
     maxplen = int(plens_np.max())
     d_text = esa.device("text")
 
+    # chunk the query batch so the dense [Bc, n] device matrices stay
+    # bounded (~64 MB int32) instead of the former [B, n] blow-up
+    Bc = max(1, (1 << 24) // max(n, 1))
+
     if kind in ("exact", "hamming"):
         patmat = np.full((B, maxplen), -2, np.int32)
         for i, p in enumerate(query):
             patmat[i, : p.size] = p.astype(np.int32)
-        mm, sep = _window_mismatches(
-            d_text, jnp.asarray(patmat), jnp.asarray(plens_np),
-            maxplen, n, kind == "exact")
-        mm = np.asarray(mm)
-        sep = np.asarray(sep)
-        fits = (np.arange(n)[None, :]
-                <= (n - plens_np[:, None]).astype(np.int64))
-        hit = fits & (mm <= (0 if kind == "exact" else k))
-        if kind == "hamming":
-            hit &= ~sep
-        qidx, pos = np.nonzero(hit)
-        qidx = qidx.astype(np.int64)
-        pos = pos.astype(np.int64)
+        q_parts, p_parts, d_parts = [], [], []
+        for g0 in range(0, B, Bc):
+            gsl = slice(g0, min(g0 + Bc, B))
+            mm, sep = _window_mismatches(
+                d_text, jnp.asarray(patmat[gsl]),
+                jnp.asarray(plens_np[gsl]),
+                maxplen, n, kind == "exact")
+            mm = np.asarray(mm)
+            sep = np.asarray(sep)
+            fits = (np.arange(n)[None, :]
+                    <= (n - plens_np[gsl, None]).astype(np.int64))
+            hit = fits & (mm <= (0 if kind == "exact" else k))
+            if kind == "hamming":
+                hit &= ~sep
+            gq, gp = np.nonzero(hit)
+            q_parts.append((gq + g0).astype(np.int64))
+            p_parts.append(gp.astype(np.int64))
+            d_parts.append(
+                np.zeros(gp.size, np.int64) if kind == "exact"
+                else -mm[gq, gp].astype(np.int64))
+        qidx = np.concatenate(q_parts) if q_parts else \
+            np.zeros(0, np.int64)
+        pos = np.concatenate(p_parts) if p_parts else \
+            np.zeros(0, np.int64)
+        dist = np.concatenate(d_parts) if d_parts else \
+            np.zeros(0, np.int64)
         lens = plens_np[qidx].astype(np.int64)
-        dist = (np.zeros(pos.size, np.int64) if kind == "exact"
-                else -mm[qidx, pos].astype(np.int64))
         if kind == "exact":
             order = np.lexsort((pos, qidx))      # ascending (BMH)
         else:
@@ -272,38 +287,40 @@ def online_complete_matches(
         long_idx = np.flatnonzero(plens_np > 64)
         hit_q: list[np.ndarray] = []
         hit_p: list[np.ndarray] = []
-        if short_idx.size:
-            sm = int(plens_np[short_idx].max())
+        for g0 in range(0, short_idx.size, Bc):
+            grp = short_idx[g0:g0 + Bc]
+            sm = int(plens_np[grp].max())
             sw = (sm + 31) // 32
-            eqs_rev = np.zeros((short_idx.size, sw, 256), np.uint32)
-            for bi, qi in enumerate(short_idx):
+            eqs_rev = np.zeros((grp.size, sw, 256), np.uint32)
+            for bi, qi in enumerate(grp):
                 rev = query[qi][::-1]
                 for i, c in enumerate(rev):
                     if int(c) >= WILDCARD:     # GETEQSREV skip rule
                         continue
                     eqs_rev[bi, i // 32, int(c)] |= np.uint32(
                         1 << (i % 32))
-            spl = plens_np[short_idx]
+            spl = plens_np[grp]
             scores = np.asarray(_semiglobal_myers(
                 d_textrev, jnp.asarray(eqs_rev), jnp.asarray(spl),
                 jnp.asarray((spl - 1) // 32),
                 jnp.asarray(((spl - 1) % 32).astype(np.uint32)),
                 sw, n))
             jrev, bi = np.nonzero(scores <= k)
-            hit_q.append(short_idx[bi].astype(np.int64))
+            hit_q.append(grp[bi].astype(np.int64))
             hit_p.append((n - 1 - jrev).astype(np.int64))
-        if long_idx.size:
-            M = int(plens_np[long_idx].max())
-            patrev = np.full((long_idx.size, M + 2), -7, np.int32)
-            for bi, qi in enumerate(long_idx):
+        for g0 in range(0, long_idx.size, Bc):
+            grp = long_idx[g0:g0 + Bc]
+            M = int(plens_np[grp].max())
+            patrev = np.full((grp.size, M + 2), -7, np.int32)
+            for bi, qi in enumerate(grp):
                 pl = plens_np[qi]
                 patrev[bi, 1 : pl + 1] = query[qi][::-1].astype(
                     np.int32)
             emits = np.asarray(_ukkonen_cutoff_scan(
                 d_textrev, jnp.asarray(patrev),
-                jnp.asarray(plens_np[long_idx]), M, k))
+                jnp.asarray(plens_np[grp]), M, k))
             jrev, bi = np.nonzero(emits)
-            hit_q.append(long_idx[bi].astype(np.int64))
+            hit_q.append(grp[bi].astype(np.int64))
             hit_p.append((n - 1 - jrev).astype(np.int64))
         qidx = (np.concatenate(hit_q) if hit_q
                 else np.zeros(0, np.int64))

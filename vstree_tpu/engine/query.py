@@ -337,19 +337,19 @@ def _unique_in_query(mt: MatchTable, query: Multiseq) -> MatchTable:
         return mt
     order = np.lexsort((-mt.length1, mt.position1))
     s = mt.select(order)
-    m = len(s)
-    keep = np.ones(m, bool)
-    dbright = 0
     pos = s.position1
     ln = s.length1
-    for i in range(m):
-        right = int(pos[i] + ln[i] - 1)
-        if dbright > right:
-            keep[i] = False
-        elif dbright == right:
-            keep[i] = False
-            if i > 0 and keep[i - 1] and pos[i - 1] == pos[i]:
-                keep[i - 1] = False
-        else:
-            dbright = right
+    # the running dbright equals the prefix max of right ends (dropped
+    # candidates never exceed it), so the loop vectorizes: keep iff
+    # strictly past the prefix max; an equal right end additionally
+    # drops an immediately preceding kept copy at the same dbstart
+    right = pos + ln - 1
+    prefmax = np.concatenate(
+        [[0], np.maximum.accumulate(right)[:-1]])
+    keep = right > prefmax
+    eq = right == prefmax
+    drop_prev = np.zeros(len(s), bool)
+    if len(s) > 1:
+        drop_prev[:-1] = eq[1:] & (pos[:-1] == pos[1:]) & keep[:-1]
+    keep &= ~drop_prev
     return s.select(keep)

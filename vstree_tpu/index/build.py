@@ -158,6 +158,13 @@ def suffix_sort(
 
         return suffix_sort_sharded(text_np, mesh)
     n = int(text_np.size)
+    if n > 2 ** 31 - 512:
+        # int32 rank/key ceiling (the special-char keys add 256 + pos;
+        # the reference documents its own 400 M cap, virtman.tex:336)
+        raise ValueError(
+            f"input of {n} symbols exceeds the int32 rank limit "
+            "(2^31-512) of a single sort program; shard the text "
+            "(parallel/shardesa) or split the input")
     if n == 0:
         return np.array([0], np.int32), np.array([0], np.int32)
     si = _suffix_sort_device(jnp.asarray(text_np), n)
@@ -244,18 +251,23 @@ def lcp_from_pairs(
             break
         if w < 256:
             w *= 2
-    # host finish for deep stragglers on the compacted set
+    # finish the deep stragglers with compacted device rounds: gather
+    # the still-active pairs into a small array and keep widening the
+    # comparison window (formerly a per-pair host char loop —
+    # pathological on long-repeat texts)
     lcp_h = np.array(lcp)  # writable copy
-    act = np.asarray(active)
-    t = np.asarray(text_np)
-    for idx in np.flatnonzero(act):
-        pa, pb = int(a_np[idx]) + int(lcp_h[idx]), int(b_np[idx]) + int(lcp_h[idx])
-        d = int(lcp_h[idx])
-        while pa < n and pb < n and t[pa] == t[pb] and t[pa] < WILDCARD:
-            pa += 1
-            pb += 1
-            d += 1
-        lcp_h[idx] = d
+    act_idx = np.flatnonzero(np.asarray(active))
+    while act_idx.size:
+        sub_lcp = jnp.asarray(lcp_h[act_idx])
+        sub_a = jnp.asarray(a_np[act_idx], dtype=jnp.int32)
+        sub_b = jnp.asarray(b_np[act_idx], dtype=jnp.int32)
+        sub_active = jnp.ones(act_idx.size, bool)
+        w2 = min(4096, max(w, 256))
+        sub_lcp, sub_active = _lcp_round(
+            text, sub_a, sub_b, sub_lcp, sub_active, w2, n)
+        lcp_h[act_idx] = np.asarray(sub_lcp)
+        act_idx = act_idx[np.asarray(sub_active)]
+        w = w2 * 2
     return lcp_h[:m]
 
 
@@ -365,19 +377,61 @@ def skip_table(lcptab: np.ndarray) -> np.ndarray:
     reference kurtz/mkskip.c:62-83 semantics, used by the
     esahamming/esaapm scan to jump doomed subtrees.
 
-    Monotonic-stack sweep (host, O(n)).
+    Next-smaller-value as one device program: a sparse table of range
+    minima (log n shifted-minimum levels) + a batched binary search —
+    O(n log n) flat gathers instead of the former per-element host
+    stack loop.
     """
-    n1 = lcptab.size  # n+1 entries; totallength = n1 - 1
-    skp = np.full(n1, n1 - 1, np.int64)
-    stack: list[int] = []
-    lcp = lcptab
-    for i in range(n1):
-        v = lcp[i]
-        while stack and lcp[stack[-1]] > v:
-            skp[stack.pop()] = i - 1
-        stack.append(i)
-    # remaining entries keep the default totallength (= n1 - 1)
-    return skp
+    n1 = int(lcptab.size)  # n+1 entries; totallength = n1 - 1
+    if n1 <= 1:
+        return np.full(n1, n1 - 1, np.int64)
+    levels = max(1, int(np.floor(np.log2(n1))) + 1)
+    skp = _skip_table_device(
+        jnp.asarray(lcptab.astype(np.int32)), n1, levels)
+    return np.asarray(skp).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "levels"))
+def _skip_table_device(lcp, n1: int, levels: int):
+    BIG = jnp.int32(2 ** 30)
+    # sparse table: table[k][i] = min lcp[i .. i+2^k-1] (out of range
+    # entries padded with BIG)
+    tabs = [lcp]
+    for k in range(1, levels):
+        prev = tabs[-1]
+        half = 1 << (k - 1)
+        shifted = jnp.concatenate(
+            [prev[half:], jnp.full(min(half, n1), BIG, jnp.int32)])
+        tabs.append(jnp.minimum(prev, shifted))
+    table = jnp.stack(tabs)          # [levels, n1]
+    log2 = jnp.asarray(
+        np.floor(np.log2(np.maximum(np.arange(n1 + 2), 1))), jnp.int32)
+
+    def range_min(lo, hi):
+        """min lcp[lo..hi], elementwise; BIG where lo > hi."""
+        width = hi - lo + 1
+        k = log2[jnp.maximum(width, 1)]
+        a = table[k, jnp.minimum(lo, n1 - 1)]
+        b = table[k, jnp.clip(hi - (1 << k) + 1, 0, n1 - 1)]
+        return jnp.where(width >= 1, jnp.minimum(a, b), BIG)
+
+    idx = jnp.arange(n1, dtype=jnp.int32)
+    has = range_min(idx + 1, jnp.int32(n1 - 1)) < lcp
+    lo = jnp.where(has, idx + 1, n1)
+    hi = jnp.where(has, jnp.int32(n1 - 1), jnp.int32(n1))
+
+    def body(_, st):
+        lo, hi = st
+        open_ = lo < hi
+        mid = (lo + hi) // 2
+        cond = range_min(idx + 1, mid) < lcp
+        lo = jnp.where(open_ & ~cond, mid + 1, lo)
+        hi = jnp.where(open_ & cond, mid, hi)
+        return lo, hi
+
+    nsteps = levels + 1
+    lo, _ = lax.fori_loop(0, nsteps, body, (lo, hi))
+    return jnp.where(has, lo - 1, jnp.int32(n1 - 1))
 
 
 # ---------------------------------------------------------------------------
