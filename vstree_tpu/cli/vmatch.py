@@ -66,6 +66,7 @@ def parse_args(argv: list[str]) -> dict:
         "v": False, "s": None, "sort": None, "showdesc": None,
         "f": False, "selfun": None, "numproc": None,
         "allmax": False, "lowergap": None, "uppergap": None,
+        "dnavsprot": None, "dnavsprot_smap": None,
         "args": argv[:],
     }
     i = 0
@@ -76,6 +77,22 @@ def parse_args(argv: list[str]) -> dict:
             i += 1
             continue
         key = a[1:]
+        if key == "dnavsprot":
+            # -dnavsprot transnum [symbolmap] (parsevm.c:1284-1298)
+            i += 1
+            if i >= len(argv):
+                raise SystemExit(
+                    "vmatch: missing argument for option -dnavsprot")
+            opts["dnavsprot"] = int(argv[i]); i += 1
+            from ..core.codon import check_transnum
+
+            try:
+                check_transnum(opts["dnavsprot"])
+            except ValueError as e:
+                raise SystemExit(f"vmatch: {e}")
+            if i < len(argv) - 1 and not argv[i].startswith("-"):
+                opts["dnavsprot_smap"] = argv[i]; i += 1
+            continue
         if key == "q":
             i += 1
             while i < len(argv) and not argv[i].startswith("-") and i < len(argv) - 1:
@@ -753,8 +770,47 @@ def run(argv: list[str], out=None) -> int:
             return finish(mt, raw=raw)
         raise SystemExit("vmatch: task not implemented yet")
 
-    query = read_multiseq(opts["q"], esa.alpha, store_original=True)
-    assign_query_digits(digits, query)
+    if opts["dnavsprot"] is not None:
+        # -dnavsprot: DNA queries against a protein index
+        # (procmatch.c:440-462): read queries with a DNA symbol map,
+        # six-frame-translate into the index alphabet, match the
+        # translated queries, then back-map coordinates to the DNA
+        from ..core.alphabet import dna_alphabet, read_symbolmap
+        from ..core.codon import six_frame_translate
+
+        if opts["supermax"] or opts["tandem"] or \
+                opts.get("dbcluster") is not None:
+            raise SystemExit(
+                "vmatch: option -dnavsprot excludes self-match tasks")
+        dna_alpha = (read_symbolmap(opts["dnavsprot_smap"])
+                     if opts["dnavsprot_smap"] else dna_alphabet())
+        dnaquery = read_multiseq(opts["q"], dna_alpha,
+                                 store_original=True)
+        query = six_frame_translate(dnaquery, esa.alpha,
+                                    opts["dnavsprot"])
+        assign_query_digits(digits, dnaquery)
+    else:
+        dnaquery = None
+        query = read_multiseq(opts["q"], esa.alpha, store_original=True)
+        assign_query_digits(digits, query)
+
+    def _dnavsprot_convert(mt):
+        """dnavsprotfromsixframetooriginalquery (procfinal.c:262-289):
+        translated-space coordinates back onto the DNA query."""
+        if dnaquery is None or len(mt) == 0:
+            return mt
+        from ..core.codon import sixframe_convert_match
+        from ..engine.match import FLAGPPRIGHTREVERSE
+
+        dseq, rel, abspos, dlen, rev = sixframe_convert_match(
+            dnaquery, mt.seqnum2, mt.relpos2, mt.length2)
+        mt.seqnum2 = dseq
+        mt.relpos2 = rel
+        mt.position2 = abspos
+        mt.length2 = dlen
+        mt.transnum = np.full(len(mt), opts["dnavsprot"], np.int64)
+        mt.flag = mt.flag | np.where(rev, FLAGPPRIGHTREVERSE, 0)
+        return mt
 
     # -d/-p direction selection (parsevm.c: SHOWDIRECT is the default;
     # -p alone disables direct unless -d is also given)
@@ -809,11 +865,12 @@ def run(argv: list[str], out=None) -> int:
         if opts["p"]:
             qrc = reverse_complement_inplace(query)
             tables.append(run_pats(qrc, FLAGPALINDROMIC))
-        allmt = MatchTable.concat(tables)
+        allmt = _dnavsprot_convert(MatchTable.concat(tables))
         raw = allmt
-        allmt = process_final(allmt, ms, ev, mp, query=query,
+        outq = dnaquery if dnaquery is not None else query
+        allmt = process_final(allmt, ms, ev, mp, query=outq,
                               selection=hooks)
-        return finish(allmt, query=query, raw=raw)
+        return finish(allmt, query=outq, raw=raw)
 
     if opts["l"] is not None or xdrop is not None:
         # substring matching: MEMs / MUM candidates / MUMs
@@ -858,11 +915,12 @@ def run(argv: list[str], out=None) -> int:
         if opts["p"]:
             qrc = reverse_complement_inplace(query)
             tables.append(run_q(qrc, FLAGPALINDROMIC))
-        allmt = MatchTable.concat(tables)
+        allmt = _dnavsprot_convert(MatchTable.concat(tables))
         raw = allmt
-        allmt = process_final(allmt, ms, ev, mp, query=query,
+        outq = dnaquery if dnaquery is not None else query
+        allmt = process_final(allmt, ms, ev, mp, query=outq,
                               selection=hooks)
-        return finish(allmt, query=query, raw=raw)
+        return finish(allmt, query=outq, raw=raw)
 
     raise SystemExit("vmatch: task not implemented yet")
 
