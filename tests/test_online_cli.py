@@ -89,3 +89,69 @@ def test_online_vs_index_same_set(indexes):
                     str(tmp / "ours")], cwd=str(tmp))
     assert sorted(body(on)) == sorted(body(off))
     assert len(body(on)) > 0
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-online", "-l", "11"],
+    ["-online", "-l", "11", "-mum", "cand"],
+    ["-online", "-l", "13", "-e", "1"],
+    ["-online", "-l", "12", "-h", "1"],
+])
+def test_online_query_byte_identical(online_setup, task):
+    """-online -q: per-query-sequence throwaway index, database
+    scanned against it (procmatch.c:34-133) — byte-identical."""
+    tmp, qf = online_setup
+    ref, ours = run_pair_online(tmp, task + ["-q", qf])
+    assert body(ref) == body(ours)
+    assert len(body(ref)) > 0
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-online", "-l", "11", "-p"],
+    ["-online", "-l", "11", "-p", "-d"],
+])
+def test_online_query_palindromic_sets(online_setup, task):
+    """Palindromic online pass: identical match sets; within
+    equal-LCE tie blocks (poly-A runs) the emission pivot depends on
+    the reference's stateful witness (matchsub.c:353-539)."""
+    tmp, qf = online_setup
+    ref, ours = run_pair_online(tmp, task + ["-q", qf])
+    assert sorted(body(ref)) == sorted(body(ours))
+    assert len(body(ref)) > 0
+
+
+@pytest.fixture(scope="module")
+def online_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("onlineq")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    src = os.path.join(TESTDATA, "at100K1")
+    subprocess.run(
+        [MKVTREE, "-db", src, "-dna", "-pl", "-allout",
+         "-indexname", str(tmp / "ref")],
+        check=True, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "vstree_tpu.cli.mkvtree", "-db", src,
+         "-dna", "-pl", "-allout", "-indexname", str(tmp / "ours")],
+        check=True, capture_output=True, env=env, cwd=str(tmp))
+    # first ~2 KB of U89959 + a short second sequence
+    with open(os.path.join(TESTDATA, "U89959.fna")) as fh:
+        lines = fh.read(2200).splitlines()[:-1]
+    qf = tmp / "q.fna"
+    qf.write_text("\n".join(lines)
+                  + "\n>second\nacgtacgtacgGGGATCGATCGacgtacctgaacctga\n")
+    return tmp, str(qf)
+
+
+def run_pair_online(tmp, args):
+    ref = subprocess.run(
+        [VMATCH] + args + [str(tmp / "ref")],
+        capture_output=True, text=True, cwd=str(tmp)).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "vstree_tpu.cli.vmatch"] + args
+        + [str(tmp / "ours")],
+        capture_output=True, text=True, env=env, cwd=str(tmp))
+    assert r.returncode == 0, r.stderr
+    return ref, r.stdout

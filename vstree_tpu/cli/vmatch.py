@@ -884,6 +884,31 @@ def run(argv: list[str], out=None) -> int:
         k_e = opts.get("e")
         k = k_e if k_e is not None else k_h
 
+        if opts["online"]:
+            # -online -q: per-query-sequence throwaway index, database
+            # scanned against it (procmatch.c:34-133 + runquery)
+            from ..engine.onlinequery import online_query_matches
+            from ..engine.query import _unique_in_query
+
+            if mode == "mum" and query.numofsequences > 1:
+                raise SystemExit(
+                    "vmatch: options -mum, -q, and -online can only "
+                    "be combined if there is exactly one sequence in "
+                    "the query file")
+            allmt = online_query_matches(
+                esa, query,
+                opts["l"] if opts["l"] is not None else 0,
+                mode, ev=ev, leastlength=opts["l"] or 0,
+                k_e=k_e, k_h=k_h, xdrop=xdrop,
+                seedlength=opts.get("seedlength"),
+                direct=direct_on, palindromic=opts["p"])
+            if mode == "mum":
+                allmt = _unique_in_query(allmt, query)
+            raw = allmt
+            allmt = process_final(allmt, ms, ev, mp, query=query,
+                                  selection=hooks)
+            return finish(allmt, query=query, raw=raw)
+
         def run_q(q, flags):
             if xdrop is not None:
                 seedlength = opts.get("seedlength") or 30

@@ -93,9 +93,10 @@ class Multiseq:
     def pos_to_pair(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized absolute position -> (seqnum, relpos)."""
         positions = np.asarray(positions, dtype=np.int64)
-        seqnums = self.pos_to_seqnum(positions)
         if self.markpos.size == 0:
-            return seqnums, positions
+            # single sequence: absolute == relative
+            return np.zeros(positions.size, np.int64), positions
+        seqnums = self.pos_to_seqnum(positions)
         starts = np.where(
             seqnums == 0,
             0,

@@ -215,6 +215,14 @@ def lcp_from_pairs(
     m = int(a_np.size)
     if m == 0:
         return np.zeros(0, np.int32)
+    if m > (1 << 22) and mesh is None:
+        # bound the [m, w] comparison matrices (w grows to 256):
+        # process pair chunks sequentially
+        C = 1 << 22
+        return np.concatenate([
+            lcp_from_pairs(text_np, a_np[i:i + C], b_np[i:i + C])
+            for i in range(0, m, C)
+        ])
     mpad = m
     if mesh is not None:
         ndev = int(np.prod(list(mesh.shape.values())))
