@@ -162,3 +162,19 @@ def test_xdrop_alignment_display_parity(setup, task):
 def test_showdesc_and_filename_parity(setup, task):
     ref, ours = run_pair(setup, task)
     assert _body(ref) == _body(ours)
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-l", "40", "-s", "xml"],
+    ["-l", "35", "-e", "2", "-s", "xml"],
+    ["-supermax", "-l", "25", "-s", "xml"],
+    ["-l", "30", "-exdrop", "3", "-s", "xml"],
+    ["-l", "40", "-s", "xml", "-showdesc", "10"],
+])
+def test_xml_output_parity(setup, task):
+    """-s xml (xmlfunc.c + showeditopinxml), byte-identical modulo
+    the index path inside <Vmatchindex>."""
+    ref, ours = run_pair(setup, task)
+    assert ref.replace("IDX", "") == ours.replace("IDX", "")
+    assert "<Vmatchoutput>" in ours

@@ -475,10 +475,19 @@ def run(argv: list[str], out=None) -> int:
         if hooks.init is not None:
             hooks.init(esa.alpha, ms, None)
 
+    from ..output import align as _al
+
+    xmlmode = opts["s"] is not None and bool(
+        opts["s"] & _al.SHOWVMATCHXML)
     if opts.get("maskchar") is None:
         # masking mode replaces the match funnel output entirely,
         # including the argument header (initpost.c markermaskmatchout)
-        print(argument_header(argv[:-1], opts["index"]), file=out)
+        if xmlmode:
+            from ..output.xml import xml_header
+
+            xml_header(argv, out)
+        else:
+            print(argument_header(argv[:-1], opts["index"]), file=out)
 
     digits = assign_virtual_digits(ms)
 
@@ -639,6 +648,46 @@ def run(argv: list[str], out=None) -> int:
                     mt = sort_matches(mt, opts["sort"])
         if hooks is not None and hooks.final_table is not None:
             mt = hooks.final_table(mt) or mt
+        if xmlmode:
+            # -s xml (xmlfunc.c + echomatch.c:1036-1045)
+            from ..output.align import alignment_eops
+            from ..output.render import format_description
+            from ..output.xml import xml_init, xml_match, xml_wrap
+
+            xml_init(esa.alpha, ms, query, out)
+            modes = mt.mode_chars()
+            scores = mt.score
+            idents = mt.identity
+            sd = opts["showdesc"]
+            if sd is not None:
+                sd = dict(sd, replaceblanks=False)
+            for k in range(len(mt)):
+                row = {
+                    "position1": int(mt.position1[k]),
+                    "length1": int(mt.length1[k]),
+                    "position2": int(mt.position2[k]),
+                    "length2": int(mt.length2[k]),
+                    "distance": int(mt.distance[k]),
+                    "flag": int(mt.flag[k]),
+                    "seqnum1": int(mt.seqnum1[k]),
+                    "relpos1": int(mt.relpos1[k]),
+                    "seqnum2": int(mt.seqnum2[k]),
+                    "relpos2": int(mt.relpos2[k]),
+                    "evalue": float(mt.evalue[k]),
+                    "score": int(scores[k]),
+                    "identity": float(idents[k]),
+                    "idnumber": int(mt.idnumber[k]),
+                    "xdropscore": xdrop,
+                }
+                eops = alignment_eops(row, ms, query)
+                d1 = d2 = None
+                if sd is not None:
+                    d1 = format_description(ms, row["seqnum1"], sd)
+                    dms = query if query is not None else ms
+                    d2 = format_description(dms, row["seqnum2"], sd)
+                xml_match(row, modes[k], eops, out, d1, d2)
+            xml_wrap(out)
+            return 0
         lines = render_matches(mt, ms, digits, showmode, query,
                                showdesc=opts["showdesc"])
         if hooks is not None and hooks.wrap is not None:

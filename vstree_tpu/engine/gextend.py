@@ -277,6 +277,19 @@ def hamming_extend_seeds(
     # precheck (extendHD.c:283-289)
     viable = (ll_tab[np.arange(S), hl] + lr_tab[np.arange(S), hr]
               >= remain)
+    vidx = np.flatnonzero(viable)
+    if vidx.size == 0:
+        return MatchTable()
+    ll_tab = ll_tab[vidx]
+    lr_tab = lr_tab[vidx]
+    hl = hl[vidx]
+    hr = hr[vidx]
+    pos1 = pos1[vidx]
+    pos2 = pos2[vidx]
+    slen = slen[vidx]
+    remain = remain[vidx] if remain.ndim else remain
+    S = vidx.size
+    viable = np.ones(S, bool)
 
     best_e = np.full(S, np.inf)
     best_id = np.zeros(S)
@@ -322,7 +335,7 @@ def hamming_extend_seeds(
     if allmax:
         if not cand:
             return MatchTable()
-        sidx = np.concatenate([c[0] for c in cand])
+        sidx = vidx[np.concatenate([c[0] for c in cand])]
         return apply_allmax_containers(
             seeds, sidx,
             np.concatenate([c[6] for c in cand]),
@@ -335,7 +348,7 @@ def hamming_extend_seeds(
         )
     if not found.any():
         return MatchTable()
-    out = seeds.select(found)
+    out = seeds.select(vidx[found])
     ll = best_ll[found]
     out.position1 = out.position1 - ll
     out.position2 = out.position2 - ll
@@ -536,6 +549,23 @@ def edit_extend_seeds(
 
     viable = maxext(lf, hl) + maxext(rf, hr) >= remain
 
+    # compact to the viable seeds (extendED.c:141-200 bails out per
+    # seed; for -l 30 -e 2 on at1MB ~97% of the 350k seeds die here,
+    # so the combination loops below must not drag them along)
+    vidx = np.flatnonzero(viable)
+    if vidx.size == 0:
+        return MatchTable()
+    lf = lf[vidx]
+    hl = hl[vidx]
+    rf = rf[vidx]
+    hr = hr[vidx]
+    pos1 = pos1[vidx]
+    pos2 = pos2[vidx]
+    slen = slen[vidx]
+    remain = remain[vidx] if remain.ndim else remain
+    S = vidx.size
+    viable = np.ones(S, bool)
+
     best = {
         "e": np.full(S, np.inf), "id": np.zeros(S),
         "len": np.zeros(S, np.int64), "found": np.zeros(S, bool),
@@ -635,7 +665,7 @@ def edit_extend_seeds(
     if allmax:
         if not cand:
             return MatchTable()
-        sidx = np.concatenate([c[0] for c in cand])
+        sidx = vidx[np.concatenate([c[0] for c in cand])]
         return apply_allmax_containers(
             seeds, sidx,
             np.concatenate([c[6] for c in cand]),
@@ -649,7 +679,7 @@ def edit_extend_seeds(
     found = best["found"]
     if not found.any():
         return MatchTable()
-    out = seeds.select(found)
+    out = seeds.select(vidx[found])
     out.length1 = best["l1"][found]
     out.length2 = best["l2"][found]
     out.distance = best["dist"][found]

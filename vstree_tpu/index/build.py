@@ -177,6 +177,71 @@ def suffix_sort(
 
 
 # ---------------------------------------------------------------------------
+# fused build: sort + LCP as ONE device program
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w", "maxrounds"))
+def _build_suf_lcp_device(text, n: int, w: int = 64,
+                          maxrounds: int = 64):
+    """Suffix sort + adjacent-pair LCP fused into a single dispatch
+    (no host synchronisation between the doubling rounds and the LCP
+    windows — matters through high-latency device links).  Returns
+    (si[n], lcp[n-1], active[n-1]): ``active`` marks straggler pairs
+    deeper than w*maxrounds (host-finished by the caller)."""
+    si = _suffix_sort_device(text, n)
+    a = si[:-1]
+    b = si[1:]
+    m = n - 1
+    offs = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        _, active, it = st
+        return jnp.any(active) & (it < maxrounds)
+
+    def body(st):
+        lcp, active, it = st
+        ia = a[:, None] + lcp[:, None] + offs
+        ib = b[:, None] + lcp[:, None] + offs
+        va = ia < n
+        vb = ib < n
+        ca = text[jnp.minimum(ia, n - 1)]
+        cb = text[jnp.minimum(ib, n - 1)]
+        match = va & vb & (ca == cb) & (ca < WILDCARD)
+        run = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                      axis=1)
+        lcp = jnp.where(active, lcp + run, lcp)
+        active = active & (run == w)
+        return lcp, active, it + 1
+
+    lcp0 = jnp.zeros(m, jnp.int32)
+    act0 = jnp.ones(m, bool)
+    lcp, active, _ = lax.while_loop(cond, body,
+                                    (lcp0, act0, jnp.int32(0)))
+    return si, lcp, active
+
+
+def build_suf_lcp(text_np: np.ndarray):
+    """Host wrapper over the fused device build; returns
+    (suftab[n+1], lcptab[n+1]) with the usual sentinel conventions."""
+    n = int(text_np.size)
+    if n == 0:
+        return np.array([0], np.int32), np.zeros(1, np.int32)
+    si, lcp, active = _build_suf_lcp_device(jnp.asarray(text_np), n)
+    suftab = np.empty(n + 1, np.int32)
+    suftab[:n] = np.asarray(si)
+    suftab[n] = n
+    lcptab = np.zeros(n + 1, np.int32)
+    lcptab[1:n] = np.asarray(lcp)
+    act = np.asarray(active)
+    if act.any():
+        idx = np.flatnonzero(act)
+        deep = lcp_from_pairs(text_np, suftab[idx], suftab[idx + 1])
+        lcptab[idx + 1] = deep
+    return suftab, lcptab
+
+
+# ---------------------------------------------------------------------------
 # LCP: batched chunked comparison
 # ---------------------------------------------------------------------------
 

@@ -456,6 +456,53 @@ def _echo_hamming_abbrev(
     return "".join(out)
 
 
+def alignment_eops(row: dict, virtual_ms, query_ms) -> list[int]:
+    """The edit-operation list of a match's display alignment — the
+    same dispatch as echo_string_output (equal / hamming / greedy
+    edist / x-drop), used by the XML output's <DNA_eops> block
+    (echomatch.c:1039 + showeditopinxml)."""
+    flag = row["flag"]
+    leftrc = bool(flag & FLAGPPLEFTREVERSE)
+    if flag & (FLAGPALINDROMIC | FLAGSELFPALINDROMIC):
+        rightrc = True
+    else:
+        rightrc = bool(
+            not (flag & FLAGQUERY) and (flag & FLAGPPRIGHTREVERSE)
+        )
+    p1, l1 = row["position1"], row["length1"]
+    lc = virtual_ms.sequence[p1:p1 + l1].astype(np.int64)
+    p2, l2 = row["position2"], row["length2"]
+    if flag & FLAGQUERY:
+        src = virtual_ms if flag & FLAGSELFPALINDROMIC else query_ms
+        start = p2
+    else:
+        src = virtual_ms
+        if virtual_ms.numofquerysequences > 0:
+            start = virtual_ms.database_length + 1 + p2
+        else:
+            start = p2
+    rc = src.sequence[start:start + l2].astype(np.int64)
+    distance = row["distance"]
+    hamming = distance < 0
+    if hamming:
+        distance = -distance
+    if leftrc:
+        lc = _revcomp_codes(lc)
+    if rightrc:
+        rc = _revcomp_codes(rc)
+    if flag & FLAGXDROP:
+        from .xdropalign import xdrop_alignment
+
+        _, eops = xdrop_alignment(lc, rc, row["xdropscore"])
+    elif distance == 0:
+        eops = align_equal_strings(l1)
+    elif hamming:
+        eops = hamming_alignment(lc, rc)
+    else:
+        _, eops = greedy_edist_align(lc, rc, distance)
+    return eops
+
+
 def echo_string_output(
     row: dict,
     virtual_ms,
