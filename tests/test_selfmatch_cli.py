@@ -82,14 +82,10 @@ def test_selfmatch_parity(indexes, name, task):
     tmp = indexes[name]
     ref = run_ref(task + [str(tmp / f"ref_{name}")])
     ours = run_ours(task + [str(tmp / f"our_{name}")], cwd=str(tmp))
-    if task[0] == "-tandem":
-        # tandem emission order parity is pending (ftandem.c:261)
-        assert body_sorted(ref) == body_sorted(ours)
-    else:
-        # -supermax and -l emit in the reference's exact DFS order
-        # (fsuper.c right-boundary order; vmatfind.c traversal via
-        # maximal_pairs_ref_order)
-        assert body(ref) == body(ours)
+    # all self-match tasks emit in the reference's exact traversal
+    # order (fsuper.c right-boundary order; vmatfind.c computed
+    # emission key; ftandem.c witness-scan replay in engine/tandem.py)
+    assert body(ref) == body(ours)
 
 
 @needs_ref
@@ -178,3 +174,20 @@ def test_ref_order_computed_key_equals_simulator(rng):
             for f in ("length1", "position1", "position2", "length2"):
                 assert np.array_equal(getattr(a, f), getattr(b, f)), \
                     (sig, L, f)
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-l", "25", "-i"],
+    ["-l", "10", "-i"],
+    ["-supermax", "-l", "20", "-i"],
+    ["-tandem", "-l", "10", "-i"],
+])
+def test_preinfo_histogram_parity(indexes, task):
+    """-i match-count distribution (vmatcount.c via distri.c) —
+    byte-identical header + per-length counts."""
+    tmp = indexes["at100K1"]
+    ref = run_ref(task + [str(tmp / "ref_at100K1")])
+    ours = run_ours(task + ["our_at100K1"], str(tmp))
+    assert body_sorted(ref) == body_sorted(ours)
+    assert body(ref) == body(ours)

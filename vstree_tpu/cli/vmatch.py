@@ -30,7 +30,8 @@ from ..engine.gextend import (
     hamming_extend_seeds,
 )
 from ..engine.query import find_query_matches
-from ..engine.repeats import find_maximal_pairs_ref, find_tandems
+from ..engine.repeats import find_maximal_pairs_ref
+from ..engine.tandem import find_tandems_ref
 from ..engine.xdrop import xdrop_extend_seeds
 from ..engine.supermax import find_supermax
 from ..index.io import read_index
@@ -764,7 +765,7 @@ def run(argv: list[str], out=None) -> int:
                     "vmatch: tandem repeat search does not allow "
                     "query files in index"
                 )
-            raw = find_tandems(esa, opts["l"])
+            raw = find_tandems_ref(esa, opts["l"])
             mt = process_final(raw, ms, ev, mp, selection=hooks)
             return finish(mt, raw=raw)
         if opts["mum"]:

@@ -192,13 +192,24 @@ def find_query_matches(
     W = 64
     maxchunks = max(1, int(np.ceil((maxrem - d) / W)) + 1)
 
-    lb = np.asarray(_qsuffix_lower_bound(
-        esa.device("text"), esa.device("suftab"),
-        jnp.asarray(qtext), jnp.asarray(qpos_k, dtype=jnp.int32),
-        jnp.asarray(rem_k, dtype=jnp.int32),
-        jnp.asarray(lo0_k), jnp.asarray(hi0_k),
-        W, d, n, nq, nsteps, maxchunks,
-    ))
+    # chunk the batched binary search: very large position batches
+    # (>~0.5M) fault the TPU runtime, and chunking also bounds the
+    # [B, W] probe buffers; one compile (global nsteps/maxchunks)
+    CB = 1 << 18
+    lb_parts = []
+    d_text = esa.device("text")
+    d_suf = esa.device("suftab")
+    qtext_dev = jnp.asarray(qtext)
+    for g0 in range(0, qpos_k.size, CB):
+        gsl = slice(g0, min(g0 + CB, qpos_k.size))
+        lb_parts.append(np.asarray(_qsuffix_lower_bound(
+            d_text, d_suf,
+            qtext_dev, jnp.asarray(qpos_k[gsl], dtype=jnp.int32),
+            jnp.asarray(rem_k[gsl], dtype=jnp.int32),
+            jnp.asarray(lo0_k[gsl]), jnp.asarray(hi0_k[gsl]),
+            W, d, n, nq, nsteps, maxchunks,
+        )))
+    lb = np.concatenate(lb_parts)
 
     # witness = neighbor of the insertion point with the longer lce
     cand0 = np.clip(lb - 1, lo0_k, hi0_k - 1)
