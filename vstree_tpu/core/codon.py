@@ -239,7 +239,8 @@ def translate_backward(orig: np.ndarray, transnum: int,
 
 
 def six_frame_translate(
-    dna_ms: Multiseq, protein_alpha: Alphabet, transnum: int
+    dna_ms: Multiseq, protein_alpha: Alphabet, transnum: int,
+    withdescription: bool = False,
 ) -> Multiseq:
     """multisixframetranslateDNA (sixframe.c:166-231): each DNA
     sequence becomes six protein sequences (+0,+1,+2 then -0,-1,-2),
@@ -282,6 +283,16 @@ def six_frame_translate(
     out.originalsequence = origcat
     out.numofsequences = nseq * MAXFRAMES
     out.totallength = int(enc.size)
+    if withdescription:
+        # singlesixframetranslateDNA (sixframe.c:74-95): frame 0
+        # carries the DNA description, frames 1-5 empty lines
+        descs: list[bytes] = []
+        for sq in range(nseq):
+            d = dna_ms.descriptions[sq] if sq < len(
+                dna_ms.descriptions) else b""
+            descs.append(d)
+            descs.extend([b""] * (MAXFRAMES - 1))
+        out.descriptions = descs
     return out
 
 

@@ -115,6 +115,64 @@ def _qsuffix_lower_bound(
     return lo
 
 
+
+
+def _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
+                  W, d, n, nq, nsteps, maxchunks):
+    """Insertion rank of every query suffix.
+
+    Fast path: the packed rank-key interval lookup of
+    engine/complete.py (integer-word probes on the precomputed key
+    tables — 100-1000x cheaper than byte-gather comparisons on TPU).
+    A suffix whose window is special-containing, or whose interval at
+    the key coverage depth is still wider than 1 while the suffix
+    continues past the coverage, falls back to the exact byte-compare
+    binary search (the witness semantics of both paths coincide on
+    the fast cases: for a full-window match the insertion point is the
+    interval's left end)."""
+    from .complete import RankLookupPlan
+
+    B = qpos_k.size
+    lb = np.zeros(B, np.int64)
+    fallback = np.ones(B, bool)
+    minrem = int(rem_k.min(initial=1))
+    plan = RankLookupPlan(esa, minrem, minrem)
+    if plan.ok and B > 0:
+        C = plan.coverage
+        idx = qpos_k[:, None] + np.arange(C)[None, :]
+        win = qtext[np.minimum(idx, nq - 1)].astype(np.int32)
+        win[idx >= nq] = -1
+        plens = np.minimum(rem_k, C).astype(np.int32)
+        mask = np.arange(C)[None, :] < plens[:, None]
+        special = ((win >= WILDCARD) & mask).any(axis=1)
+        win = np.where(mask, win, -1)
+        flat8, _ = plan.pack(win, plens)
+        lo, hi = plan.run(flat8)
+        lo = np.asarray(lo)[:B].astype(np.int64)
+        hi = np.asarray(hi)[:B].astype(np.int64)
+        deep = (hi - lo > 1) & (rem_k > C)
+        fallback = special | deep
+        lb = lo
+    fidx = np.flatnonzero(fallback)
+    if fidx.size:
+        CB = 1 << 18
+        d_text = esa.device("text")
+        d_suf = esa.device("suftab")
+        qtext_dev = jnp.asarray(qtext)
+        parts = []
+        for g0 in range(0, fidx.size, CB):
+            gs = fidx[g0:g0 + CB]
+            parts.append(np.asarray(_qsuffix_lower_bound(
+                d_text, d_suf,
+                qtext_dev, jnp.asarray(qpos_k[gs], dtype=jnp.int32),
+                jnp.asarray(rem_k[gs], dtype=jnp.int32),
+                jnp.asarray(lo0_k[gs]), jnp.asarray(hi0_k[gs]),
+                W, d, n, nq, nsteps, maxchunks,
+            )))
+        lb[fidx] = np.concatenate(parts)
+    return lb
+
+
 def _query_positions(query: Multiseq, searchlength: int):
     """Flattened (qpos, qseq, qoff, rem) for every query offset with
     remaining length >= searchlength (matchsub.c loop bounds)."""
@@ -192,24 +250,8 @@ def find_query_matches(
     W = 64
     maxchunks = max(1, int(np.ceil((maxrem - d) / W)) + 1)
 
-    # chunk the batched binary search: very large position batches
-    # (>~0.5M) fault the TPU runtime, and chunking also bounds the
-    # [B, W] probe buffers; one compile (global nsteps/maxchunks)
-    CB = 1 << 18
-    lb_parts = []
-    d_text = esa.device("text")
-    d_suf = esa.device("suftab")
-    qtext_dev = jnp.asarray(qtext)
-    for g0 in range(0, qpos_k.size, CB):
-        gsl = slice(g0, min(g0 + CB, qpos_k.size))
-        lb_parts.append(np.asarray(_qsuffix_lower_bound(
-            d_text, d_suf,
-            qtext_dev, jnp.asarray(qpos_k[gsl], dtype=jnp.int32),
-            jnp.asarray(rem_k[gsl], dtype=jnp.int32),
-            jnp.asarray(lo0_k[gsl]), jnp.asarray(hi0_k[gsl]),
-            W, d, n, nq, nsteps, maxchunks,
-        )))
-    lb = np.concatenate(lb_parts)
+    lb = _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
+                       W, d, n, nq, nsteps, maxchunks)
 
     # witness = neighbor of the insertion point with the longer lce
     cand0 = np.clip(lb - 1, lo0_k, hi0_k - 1)

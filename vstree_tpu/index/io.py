@@ -77,20 +77,34 @@ def sti1_table(suftab: np.ndarray, lcptab: np.ndarray, prefixlength: int) -> np.
     return out
 
 
-def write_index(esa: ESA, indexname: str) -> None:
-    """Write all built tables of ``esa`` in reference format."""
+def write_index(esa: ESA, indexname: str,
+                tables: "set[str] | None" = None,
+                prj_extra: tuple = (),
+                prj_dbfile: bool = True,
+                prj_special_zero: bool = False) -> None:
+    """Write all built tables of ``esa`` in reference format.
+
+    ``tables`` restricts the file set (used by the derived-index
+    builders mkrcidx/mkdna6idx, which write specific subsets);
+    ``prj_extra`` appends lines to the .prj (e.g. specialindex=N);
+    ``prj_special_zero`` reproduces the reference's derived-index
+    quirk of writing zeroed special-character statistics."""
     ms = esa.multiseq
     n = ms.totallength
+
+    def has(name: str) -> bool:
+        return tables is None or name in tables
 
     def w(ext: str, arr: np.ndarray) -> None:
         arr.tofile(indexname + "." + ext)
 
-    w("tis", ms.sequence)
-    if ms.originalsequence is not None:
+    if has("tis"):
+        w("tis", ms.sequence)
+    if ms.originalsequence is not None and has("ois"):
         w("ois", ms.originalsequence)
-    if esa.suftab is not None:
+    if esa.suftab is not None and has("suf"):
         w("suf", esa.suftab.astype(_U64))
-    if esa.lcptab is not None:
+    if esa.lcptab is not None and has("lcp"):
         lcp = esa.lcptab
         big = np.flatnonzero(lcp >= 255)
         w("lcp", np.minimum(lcp, 255).astype(np.uint8))
@@ -98,15 +112,16 @@ def write_index(esa: ESA, indexname: str) -> None:
         llv[:, 0] = big
         llv[:, 1] = lcp[big]
         w("llv", llv)
-    if esa.bwttab is not None:
+    if esa.bwttab is not None and has("bwt"):
         w("bwt", esa.bwttab)
-    if esa.bcktab is not None:
+    if esa.bcktab is not None and has("bck"):
         w("bck", esa.bcktab.astype(_U64))
-    if esa.lcptab is not None and esa.suftab is not None:
+    if esa.lcptab is not None and esa.suftab is not None \
+            and has("sti1"):
         w("sti1", sti1_table(esa.suftab, esa.lcptab, esa.prefixlength))
-    if esa.skptab is not None:
+    if esa.skptab is not None and has("skp"):
         w("skp", esa.skptab.astype(_U64))
-    if ms.numofsequences > 1:
+    if ms.numofsequences > 1 and has("ssp"):
         w("ssp", ms.markpos.astype(_U64))
     # descriptions: reference stores them newline-terminated, sds holds
     # the start offset of each description (m entries + total length?
@@ -125,17 +140,23 @@ def write_index(esa: ESA, indexname: str) -> None:
     sds.tofile(indexname + ".sds")
     with open(indexname + ".al1", "w") as fh:
         fh.write(esa.alpha.al1_text)
-    write_prj(esa, indexname)
+    write_prj(esa, indexname, extra=prj_extra, dbfile=prj_dbfile,
+              special_zero=prj_special_zero)
 
 
-def write_prj(esa: ESA, indexname: str) -> None:
+def write_prj(esa: ESA, indexname: str, extra: tuple = (),
+              dbfile: bool = True, special_zero: bool = False) -> None:
     ms = esa.multiseq
-    sc, sr, lsp, lss = special_stats(ms.sequence)
+    if special_zero:
+        sc = sr = lsp = lss = 0
+    else:
+        sc, sr, lsp, lss = special_stats(ms.sequence)
     lines = []
-    for fname, flen, contrib in zip(
-        ms.filenames, ms.filelengths, _file_contribs(ms)
-    ):
-        lines.append(f"dbfile={fname} {flen} {contrib}")
+    if dbfile:
+        for fname, flen, contrib in zip(
+            ms.filenames, ms.filelengths, _file_contribs(ms)
+        ):
+            lines.append(f"dbfile={fname} {flen} {contrib}")
     lines += [
         f"totallength={ms.totallength}",
         f"specialcharacters={sc}",
@@ -145,13 +166,17 @@ def write_prj(esa: ESA, indexname: str) -> None:
         f"numofsequences={ms.numofsequences}",
         f"numofdbsequences={ms.num_db_sequences}",
         f"numofquerysequences={ms.numofquerysequences}",
-        f"longest={esa.longest}",
+    ]
+    if esa.suftab is not None:
+        lines.append(f"longest={esa.longest}")
+    lines += [
         f"prefixlength={esa.prefixlength}",
         f"largelcpvalues={esa.largelcpvalues}",
         f"maxbranchdepth={esa.maxbranchdepth}",
         f"integersize={INTEGERSIZE}",
         "littleendian=1",
     ]
+    lines += list(extra)
     with open(indexname + ".prj", "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
