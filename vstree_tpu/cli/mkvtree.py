@@ -107,7 +107,10 @@ def run(argv: list[str]) -> int:
     files = opts["db"] + opts["q"]
 
     if opts["smap"]:
-        alpha = read_symbolmap(opts["smap"])
+        from ..core.envconf import scan_paths_for_file
+
+        alpha = read_symbolmap(
+            scan_paths_for_file("MKVTREESMAPDIR", opts["smap"]))
     elif opts["protein"]:
         alpha = protein_alphabet()
     elif opts["dna"]:

@@ -1001,7 +1001,43 @@ def run(argv: list[str], out=None) -> int:
 
 
 def main() -> None:
+    import io
+    import time
+
+    from ..core.envconf import check_env_on_off
+
+    qs = None
     try:
+        qs_env = __import__("os").environ.get("QUERYSPEEDUP")
+        if qs_env is not None:
+            qs = int(qs_env)
+            if qs == 1:
+                raise SystemExit(
+                    "vmatch: Algorithm 1 is no longer available, "
+                    "please use Algorithm 0, or 2; we recommend "
+                    "Algorithm 2")
+            if qs not in (0, 2, 3, 4, 5):
+                raise SystemExit(
+                    f"vmatch: illegal speedup value {qs}")
+    except ValueError:
+        raise SystemExit(
+            "vmatch: incorrect value of environment variable "
+            "QUERYSPEEDUP; must be non-negative integer")
+    showtimespace = check_env_on_off("VMATCHSHOWTIMESPACE")
+    try:
+        if showtimespace:
+            # timing mode (vmatch.mn.c:44-52,91-96): matches are
+            # swallowed, # TIME / # SPACE lines printed at exit
+            t0 = time.process_time()
+            sink = io.StringIO()
+            rc = run(sys.argv[1:], out=sink)
+            import resource
+
+            peak = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0
+            print(f"# TIME vmatch {time.process_time() - t0:.2f}")
+            print(f"# SPACE vmatch {peak:.2f}")
+            sys.exit(rc)
         sys.exit(run(sys.argv[1:]))
     except BrokenPipeError:  # e.g. piped into head
         sys.exit(0)

@@ -554,4 +554,10 @@ def build_esa(
         if esa.lcptab is None:
             esa.lcptab = lcp_table(text, suftab, mesh=mesh)
         esa.skptab = skip_table(esa.lcptab)
+    from ..core.debug import check_suftab, debug_level
+
+    lvl = debug_level()
+    if lvl >= 1:
+        # DEBUGLEVEL-style embedded verifiers (bese.c:355-533)
+        check_suftab(text, suftab, esa.lcptab, lvl)
     return esa
