@@ -117,6 +117,37 @@ def _qsuffix_lower_bound(
 
 
 
+
+
+def _lce_host(text, a, qtext, b, cap: int = 64):
+    """Host-side batched longest-common-extension between text
+    positions ``a`` and query positions ``b`` (chardef match rule:
+    specials never match).  Windowed numpy compares — RAM gathers are
+    orders of magnitude cheaper than device random gathers."""
+    m = int(a.size)
+    n = int(text.size)
+    nq = int(qtext.size)
+    lce = np.zeros(m, np.int64)
+    act = np.arange(m)
+    a = a.astype(np.int64)
+    b = b.astype(np.int64)
+    off = 0
+    offs = np.arange(cap)
+    while act.size:
+        ia = a[act][:, None] + off + offs[None, :]
+        ib = b[act][:, None] + off + offs[None, :]
+        va = ia < n
+        vb = ib < nq
+        ca = text[np.minimum(ia, n - 1)]
+        cb = qtext[np.minimum(ib, nq - 1)]
+        match = va & vb & (ca == cb) & (ca < WILDCARD)
+        run = np.cumprod(match, axis=1).sum(axis=1)
+        lce[act] += run
+        act = act[run == cap]
+        off += cap
+    return lce
+
+
 def _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
                   W, d, n, nq, nsteps, maxchunks):
     """Insertion rank of every query suffix.
@@ -155,19 +186,36 @@ def _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
         lb = lo
     fidx = np.flatnonzero(fallback)
     if fidx.size:
+        # the fallback search starts from the key-derived interval
+        # when available (all members share the C-prefix, so the
+        # byte compare skips the first C chars), else the bucket
+        if plan.ok:
+            flo = lo[fidx].astype(np.int32)
+            fhi = hi[fidx].astype(np.int32)
+            use_key = ~special[fidx]
+            flo = np.where(use_key, flo, lo0_k[fidx])
+            fhi = np.where(use_key, fhi, hi0_k[fidx])
+            fdepth = d  # conservative: specials mixed in, keep bucket
+        else:
+            flo = lo0_k[fidx]
+            fhi = hi0_k[fidx]
+            fdepth = d
+        maxw = int(np.max(fhi - flo)) if fidx.size else 2
+        fsteps = max(2, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
         CB = 1 << 18
         d_text = esa.device("text")
         d_suf = esa.device("suftab")
         qtext_dev = jnp.asarray(qtext)
         parts = []
         for g0 in range(0, fidx.size, CB):
-            gs = fidx[g0:g0 + CB]
+            gs = slice(g0, min(g0 + CB, fidx.size))
+            gi = fidx[gs]
             parts.append(np.asarray(_qsuffix_lower_bound(
                 d_text, d_suf,
-                qtext_dev, jnp.asarray(qpos_k[gs], dtype=jnp.int32),
-                jnp.asarray(rem_k[gs], dtype=jnp.int32),
-                jnp.asarray(lo0_k[gs]), jnp.asarray(hi0_k[gs]),
-                W, d, n, nq, nsteps, maxchunks,
+                qtext_dev, jnp.asarray(qpos_k[gi], dtype=jnp.int32),
+                jnp.asarray(rem_k[gi], dtype=jnp.int32),
+                jnp.asarray(flo[gs]), jnp.asarray(fhi[gs]),
+                W, fdepth, n, nq, fsteps, maxchunks,
             )))
         lb[fidx] = np.concatenate(parts)
     return lb
@@ -257,11 +305,8 @@ def find_query_matches(
     cand0 = np.clip(lb - 1, lo0_k, hi0_k - 1)
     cand1 = np.clip(lb, lo0_k, hi0_k - 1)
     suf = esa.suftab
-    dev_text = esa.device("text")
-    lce0 = lce_two_texts(text, suf[cand0], qtext, qpos_k,
-                         ta_dev=dev_text)
-    lce1 = lce_two_texts(text, suf[cand1], qtext, qpos_k,
-                         ta_dev=dev_text)
+    lce0 = _lce_host(text, suf[cand0], qtext, qpos_k)
+    lce1 = _lce_host(text, suf[cand1], qtext, qpos_k)
     use0 = lce0 >= lce1
     witness = np.where(use0, cand0, cand1).astype(np.int64)
     maxlcp = np.where(use0, lce0, lce1).astype(np.int64)

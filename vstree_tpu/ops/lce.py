@@ -47,8 +47,49 @@ def lce_two_texts(
 ) -> np.ndarray:
     """lce[i] = longest common extension of ta[a[i]..] vs tb[b[i]..].
 
-    ``ta_dev``/``tb_dev``: optional pre-placed device copies of the
-    texts (avoids re-uploading per call).
+    Host-windowed numpy compares: RAM gathers beat device random
+    gathers by orders of magnitude for this access pattern (TPU
+    gathers are row-oriented); the texts stay host-resident anyway.
+    ``ta_dev``/``tb_dev`` are accepted for API compatibility.
+    """
+    na, nb = int(ta_np.size), int(tb_np.size)
+    m = int(a_np.size)
+    if m == 0:
+        return np.zeros(0, np.int32)
+    a = np.asarray(a_np, dtype=np.int64)
+    b = np.asarray(b_np, dtype=np.int64)
+    lce = np.zeros(m, np.int64)
+    act = np.arange(m)
+    w = 32
+    off = 0
+    while act.size:
+        offs = np.arange(w)
+        ia = a[act][:, None] + off + offs[None, :]
+        ib = b[act][:, None] + off + offs[None, :]
+        va = ia < na
+        vb = ib < nb
+        ca = ta_np[np.minimum(ia, na - 1)]
+        cb = tb_np[np.minimum(ib, nb - 1)]
+        match = va & vb & (ca == cb) & (ca < WILDCARD)
+        run = np.cumprod(match, axis=1).sum(axis=1)
+        lce[act] += run
+        act = act[run == w]
+        off += w
+        if w < 1024:
+            w *= 2
+    return lce.astype(np.int32)
+
+
+def lce_two_texts_device(
+    ta_np: np.ndarray,
+    a_np: np.ndarray,
+    tb_np: np.ndarray,
+    b_np: np.ndarray,
+    ta_dev=None,
+    tb_dev=None,
+) -> np.ndarray:
+    """Device variant of lce_two_texts (windowed gathers in HBM) —
+    for HBM-resident texts at scales where host RAM is not an option.
     """
     na, nb = int(ta_np.size), int(tb_np.size)
     m = int(a_np.size)
