@@ -49,7 +49,9 @@ def test_query_parity(indexes, task):
     ref = run_ref(task + ["-q", qpath, str(tmp / "ref")])
     ours = run_ours(task + ["-q", qpath, str(tmp / "ours")],
                     cwd=str(tmp))
-    assert sorted(body(ref)) == sorted(body(ours))
+    # exact emission order: the speedup-2 witness state machine
+    # (matchsub.c:353-539) is replayed probe-for-probe
+    assert body(ref) == body(ours)
 
 
 @needs_ref
@@ -63,3 +65,37 @@ def test_mum_emission_order(indexes):
                     cwd=str(tmp))
     assert body(ref) == body(ours)
     assert len(body(ref)) > 0
+
+
+@needs_ref
+@pytest.mark.parametrize("speed", ["0", "2"])
+def test_query_qspeedup_exact_order(indexes, speed):
+    """Both retained reference algorithms (0 and the default 2) have
+    their within-run emission rotation reproduced exactly — the
+    rotation differs between them, so this pins both witnesses."""
+    tmp, qpath = indexes
+    task = ["-l", "15", "-qspeedup", speed]
+    ref = run_ref(task + ["-q", qpath, str(tmp / "ref")])
+    ours = run_ours(task + ["-q", qpath, str(tmp / "ours")],
+                    cwd=str(tmp))
+    assert body(ref) == body(ours)
+
+
+@needs_ref
+@pytest.mark.parametrize("task", [
+    ["-p", "-l", "11"],
+    ["-p", "-d", "-l", "12"],
+    ["-p", "-h", "2", "-l", "20"],
+    ["-p", "-e", "2", "-l", "22"],
+    ["-p", "-exdrop", "2", "-seedlength", "14", "-l", "20"],
+    ["-p", "-l", "12", "-best", "10"],
+    ["-p", "-l", "12", "-s"],
+])
+def test_selfpalindromic_parity(indexes, task):
+    """Self -p comparison (runself.c:128-180: the db matched against
+    its own reverse complement, FLAGSELFPALINDROMIC dedup keeps
+    (seq1,rel1) <= (seq2,rel2))."""
+    tmp, _ = indexes
+    ref = run_ref(task + [str(tmp / "ref")])
+    ours = run_ours(task + [str(tmp / "ours")], cwd=str(tmp))
+    assert body(ref) == body(ours)

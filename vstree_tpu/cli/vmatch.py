@@ -23,7 +23,12 @@ from ..core.multiseq import read_multiseq, reverse_complement_inplace
 from ..engine.approx import approx_complete_matches
 from ..engine.complete import exact_complete_matches
 from ..engine.funnel import MatchParams, process_final
-from ..engine.match import FLAGPALINDROMIC, MatchTable
+from ..engine.match import (
+    FLAGPALINDROMIC,
+    FLAGQUERY,
+    FLAGSELFPALINDROMIC,
+    MatchTable,
+)
 from ..engine.gextend import (
     Seqs,
     edit_extend_seeds,
@@ -65,6 +70,7 @@ def parse_args(argv: list[str]) -> dict:
         "evalue": None, "identity": None, "leastscore": None,
         "supermax": False, "mum": False, "tandem": False, "i": False,
         "v": False, "s": None, "sort": None, "showdesc": None,
+        "qspeedup": None,
         "f": False, "selfun": None, "numproc": None,
         "allmax": False, "lowergap": None, "uppergap": None,
         "dnavsprot": None, "dnavsprot_smap": None,
@@ -108,6 +114,14 @@ def parse_args(argv: list[str]) -> dict:
             if i + 1 < len(argv) and argv[i + 1] == "cand":
                 opts["mumcand"] = True; i += 1
             i += 1; continue
+        if key == "qspeedup":
+            i += 1
+            if i >= len(argv) - 1 or not _is_number(argv[i]):
+                raise SystemExit(
+                    "vmatch: argument of option -qspeedup must be "
+                    "non-negative integer")
+            opts["qspeedup"] = int(argv[i]); i += 1
+            continue
         if key in ("l", "best", "seedlength"):
             # optional numeric argument(s)
             if i + 1 < len(argv) and _is_number(argv[i + 1]):
@@ -399,6 +413,31 @@ def _is_number(s: str) -> bool:
 def run(argv: list[str], out=None) -> int:
     out = out or sys.stdout
     opts = parse_args(argv)
+    # queryspeedup: option, overridden by env QUERYSPEEDUP
+    # (parsevm.c:1126-1137,1642); algorithms 0 and 2 (the default)
+    # are reproduced probe-exactly, 3-5 produce the same match set
+    # in algorithm-2 order
+    import os as _os
+
+    qsp = opts["qspeedup"] if opts["qspeedup"] is not None else 2
+    _qe = _os.environ.get("QUERYSPEEDUP")
+    if _qe is not None:
+        try:
+            qsp = int(_qe)
+            if qsp < 0:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f'vmatch: incorrect value "{_qe}" of environment '
+                "variable QUERYSPEEDUP; must be non-negative integer")
+    if qsp == 1:
+        raise SystemExit(
+            "vmatch: Algorithm 1 is no longer available, please use "
+            "Algorithm 0, or 2; we recommend Algorithm 2")
+    if qsp > 5:
+        raise SystemExit(f"vmatch: illegal speedup value {qsp}")
+    if qsp >= 3:
+        qsp = 2
     esa = read_index(opts["index"])
     # -numproc N (parsevm.c:877, vdfstrav.c:419-499 DISTRIBUTEDDFS):
     # distribute the rank range over N devices of a jax mesh
@@ -417,6 +456,10 @@ def run(argv: list[str], out=None) -> int:
         lowergaplength=opts["lowergap"],
         uppergaplength=opts["uppergap"],
     )
+    if opts["i"] and opts["absolute"]:
+        raise SystemExit(
+            "vmatch: option -i and option -absolute exclude each "
+            "other")
     if opts["allmax"] and opts["best"] is not None:
         raise SystemExit(
             "vmatch: option -allmax and option -best exclude each "
@@ -429,7 +472,7 @@ def run(argv: list[str], out=None) -> int:
             and opts.get("e") is None:
         # OPTIONIMPLYEITHER2(OPTALLMAX,OPTHDIST,OPTEDIST)
         raise SystemExit(
-            "vmatch: option -allmax requires option -h or option -e")
+            "vmatch: option -allmax requires either option -h or -e")
     showmode = 0
     if opts["absolute"]:
         showmode |= SHOWABSOLUTE
@@ -787,7 +830,10 @@ def run(argv: list[str], out=None) -> int:
         if opts["l"] is not None or xdrop is not None:
             k_h = opts.get("h")
             k_e = opts.get("e")
-            if xdrop is not None:
+            tables = []
+            if not (opts["d"] or not opts["p"]):
+                mt = MatchTable()
+            elif xdrop is not None:
                 # x-drop seed extension (fself.c:157-173 ->
                 # xdropseedextend); seeds are maximal pairs of length
                 # >= seedlength (default 30)
@@ -815,8 +861,67 @@ def run(argv: list[str], out=None) -> int:
                         querycompare=False, allmax=opts["allmax"])
             else:
                 mt = _cross_filter(find_maximal_pairs_ref(esa, opts["l"]))
+            tables.append(mt)
+            if opts["p"]:
+                # self palindromic comparison (runself.c:128-180
+                # runselfmatchespalindromic): the db matched against
+                # its own per-sequence reverse complement through the
+                # query machinery, flagged FLAGSELFPALINDROMIC
+                if has_iq:
+                    raise SystemExit(
+                        "vmatch: option -p for self comparison does "
+                        "not allow queryfiles in the index")
+                qrc = reverse_complement_inplace(ms)
+                spflags = FLAGPALINDROMIC | FLAGSELFPALINDROMIC
+                k = k_e if k_e is not None else k_h
+                if xdrop is not None:
+                    seedlength = opts.get("seedlength") or 30
+                    seeds = find_query_matches(
+                        esa, qrc, seedlength, "mem",
+                        flags_extra=spflags, qspeedup=qsp)
+                    sq = Seqs(ms.sequence, qrc.sequence)
+                    pmt = xdrop_extend_seeds(
+                        sq, seeds, xdrop, seedlength,
+                        querycompare=True)
+                elif k is not None:
+                    seedlength = max(opts.get("seedlength") or 0,
+                                     opts["l"] // (k + 1))
+                    seeds = find_query_matches(
+                        esa, qrc, seedlength, "mem",
+                        flags_extra=spflags, qspeedup=qsp)
+                    sq = Seqs(ms.sequence, qrc.sequence)
+                    if k_e is not None:
+                        pmt = edit_extend_seeds(
+                            sq, ev, seeds, k, opts["l"], seedlength,
+                            querycompare=True, selfmode=False,
+                            allmax=opts["allmax"])
+                    else:
+                        pmt = hamming_extend_seeds(
+                            sq, ev, seeds, k, opts["l"], seedlength,
+                            querycompare=True, allmax=opts["allmax"])
+                else:
+                    pmt = find_query_matches(
+                        esa, qrc, opts["l"], "mem",
+                        flags_extra=spflags, qspeedup=qsp)
+                tables.append(pmt)
+            mt = MatchTable.concat(tables)
             raw = mt
-            mt = process_final(mt, ms, ev, mp, selection=hooks)
+            # query=ms only when a palindromic part exists: the
+            # funnel's flip needs the sequence bounds, while plain
+            # self tasks must keep the indexed-query multiplier
+            mt = process_final(mt, ms, ev, mp,
+                               query=ms if opts["p"] else None,
+                               selection=hooks)
+            # self-palindromic dedup (procfinal.c:159-171): keep only
+            # (seq1,rel1) <= (seq2,rel2) after the coordinate flip
+            sp = (mt.flag & FLAGSELFPALINDROMIC) != 0
+            if sp.any():
+                drop = sp & (
+                    (mt.seqnum1 > mt.seqnum2)
+                    | ((mt.seqnum1 == mt.seqnum2)
+                       & (mt.relpos1 > mt.relpos2)))
+                mt = mt.select(~drop)
+                mt.idnumber = np.arange(len(mt), dtype=np.int64)
             return finish(mt, raw=raw)
         raise SystemExit("vmatch: task not implemented yet")
 
@@ -963,17 +1068,20 @@ def run(argv: list[str], out=None) -> int:
             if xdrop is not None:
                 seedlength = opts.get("seedlength") or 30
                 seeds = find_query_matches(esa, q, seedlength, "mem",
-                                           flags_extra=flags)
+                                           flags_extra=flags,
+                                           qspeedup=qsp)
                 sq = Seqs(ms.sequence, q.sequence)
                 return xdrop_extend_seeds(sq, seeds, xdrop, seedlength,
                                           querycompare=True)
             if k is None:
                 return find_query_matches(esa, q, opts["l"], mode,
-                                          flags_extra=flags)
+                                          flags_extra=flags,
+                                          qspeedup=qsp)
             seedlength = max(opts.get("seedlength") or 0,
                              opts["l"] // (k + 1))
             seeds = find_query_matches(esa, q, seedlength, "mem",
-                                       flags_extra=flags)
+                                       flags_extra=flags,
+                                       qspeedup=qsp)
             sq = Seqs(ms.sequence, q.sequence)
             if k_e is not None:
                 return edit_extend_seeds(

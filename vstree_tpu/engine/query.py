@@ -242,12 +242,333 @@ def _query_positions(query: Multiseq, searchlength: int):
             np.concatenate(off_l), np.concatenate(rem_l))
 
 
+def _compare_batch(text, n, sstart, qtext, qpos, querylen, lcplen0):
+    """COMPARE (maxpref.c:30-66) vectorized over probes: compare
+    query suffixes (qpos, length querylen) against db suffixes
+    (sstart) starting at common-prefix length lcplen0; returns
+    (sign, final lcplen).  Equal specials and running past the
+    sentinel compare as -1; exhausting the query as 0."""
+    m = sstart.size
+    ret = np.zeros(m, np.int64)
+    lcp = lcplen0.astype(np.int64).copy()
+    done = np.zeros(m, bool)
+    qn = qtext.size
+    w = 32
+    while not done.all():
+        act = np.flatnonzero(~done)
+        offs = np.arange(w)
+        qi = qpos[act, None] + lcp[act, None] + offs[None, :]
+        si = sstart[act, None] + lcp[act, None] + offs[None, :]
+        q_over = (qi - qpos[act, None]) >= querylen[act, None]
+        s_over = si >= n
+        qc = qtext[np.minimum(qi, qn - 1)].astype(np.int64)
+        sc = text[np.minimum(si, n - 1)].astype(np.int64)
+        both_sp = (qc >= WILDCARD) & (sc >= WILDCARD)
+        neq = qc != sc
+        stop = q_over | s_over | neq | both_sp
+        val = np.where(
+            q_over, 0,
+            np.where(s_over, -1,
+                     np.where(neq, np.sign(qc - sc), -1)))
+        first = np.argmax(stop, axis=1)
+        any_stop = stop.any(axis=1)
+        adv = np.where(any_stop, first, w)
+        lcp[act] += adv
+        hitv = np.take_along_axis(val, first[:, None], 1)[:, 0]
+        fin = act[any_stop]
+        ret[fin] = hitv[any_stop]
+        done[fin] = True
+        if w < 1024:
+            w *= 2
+    return ret, lcp
+
+
+def _findmaxpref_batch(text, n, suftab, left, right, offset,
+                       qtext, qpos, querylen):
+    """findmaxpref.gen replayed probe-for-probe, vectorized over many
+    (interval, query-suffix) probes; returns (maxprefix, witness)."""
+    m = left.size
+    wit0 = np.zeros(m, np.int64)
+    wit1 = left.astype(np.int64).copy()
+    sufl = suftab[left].astype(np.int64)
+    ret1, l1 = _compare_batch(text, n, sufl, qtext, qpos, querylen,
+                              offset)
+    wit0[:] = l1
+    active = ret1 > 0
+    lpref = l1.copy()
+    rpref = np.zeros(m, np.int64)
+    ret2 = np.zeros(m, np.int64)
+    cur = l1.copy()
+    ia = np.flatnonzero(active)
+    if ia.size:
+        r2, l2 = _compare_batch(
+            text, n, suftab[right[ia]].astype(np.int64), qtext,
+            qpos[ia], querylen[ia], offset[ia])
+        ret2[ia] = r2
+        rpref[ia] = l2
+        upd = lpref[ia] < l2
+        wit0[ia] = np.where(upd, l2, lpref[ia])
+        wit1[ia] = np.where(upd, right[ia], left[ia])
+        cur[ia] = np.where(upd, lpref[ia], l2)
+    lo = left.astype(np.int64).copy()
+    hi = right.astype(np.int64).copy()
+    act = active & (ret2 < 0) & (wit0 < querylen) & (hi > lo + 1)
+    while act.any():
+        ia = np.flatnonzero(act)
+        mid = (lo[ia] + hi[ia]) // 2
+        r3, l3 = _compare_batch(
+            text, n, suftab[mid].astype(np.int64), qtext, qpos[ia],
+            querylen[ia], cur[ia])
+        upd = wit0[ia] < l3
+        wit0[ia] = np.where(upd, l3, wit0[ia])
+        wit1[ia] = np.where(upd, mid, wit1[ia])
+        neg = r3 < 0
+        pos = r3 > 0
+        lp = lpref[ia]
+        rp = rpref[ia]
+        rp2 = np.where(neg, l3, rp)
+        lp2 = np.where(pos, l3, lp)
+        cur[ia] = np.where(
+            neg, np.where(lp2 < rp2, lp2, l3),
+            np.where(pos, np.where(rp2 < lp2, rp2, l3), cur[ia]))
+        lpref[ia] = lp2
+        rpref[ia] = rp2
+        hi[ia] = np.where(neg, mid, hi[ia])
+        lo[ia] = np.where(pos, mid, lo[ia])
+        act[ia] = ~(r3 == 0) & (hi[ia] > lo[ia] + 1)
+    return wit0, wit1
+
+
+def _scan_left_batch(rmq, lcp, idx, depth):
+    """scanleft (matchsub.c:59-72) batched: max s in (0, idx] with
+    lcp[s] < depth, else 0 — the interval's left boundary."""
+    lo = np.zeros(idx.size, np.int64)
+    hi = idx.astype(np.int64).copy()
+    while True:
+        open_ = lo < hi
+        if not open_.any():
+            break
+        ia = np.flatnonzero(open_)
+        mid = (lo[ia] + hi[ia] + 1) // 2
+        found = rmq.query(mid, idx[ia].astype(np.int64)) < depth[ia]
+        lo[ia] = np.where(found, mid, lo[ia])
+        hi[ia] = np.where(found, hi[ia], mid - 1)
+    return lo
+
+
+def _scan_right_batch(rmq, lcp, idx, depth):
+    """scanright (matchsub.c:89-102) batched: (min s > idx with
+    lcp[s] < depth) - 1 — the interval's right boundary."""
+    nmax = lcp.size - 1
+    lo = idx.astype(np.int64) + 1
+    hi = np.full(idx.size, nmax, np.int64)
+    while True:
+        open_ = lo < hi
+        if not open_.any():
+            break
+        ia = np.flatnonzero(open_)
+        mid = (lo[ia] + hi[ia]) // 2
+        found = rmq.query(lo[ia], mid) < depth[ia]
+        hi[ia] = np.where(found, mid, hi[ia])
+        lo[ia] = np.where(found, lo[ia], mid + 1)
+    return lo - 1
+
+
+def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
+                       qpos, qseq, qoff, rem, qspeedup: int):
+    """The reference's per-query-position state machine
+    (matchquerysubstring2, matchsub.c:353-539 / speedup 0
+    matchsub.c:165-236): for every scan position compute the maximal
+    match length, the canonical lcp-interval and the exact witness
+    rank the reference's emission rotates around.
+
+    All interval/length values are canonical (checkvnode,
+    matchsub.c:132-160 asserts this in the reference's DEBUG build),
+    so they vectorize position-independently; only the witness is
+    history-dependent.  Its isomorphic-shortcut chains have the
+    closed form w_{a+k} = inv[suftab[w_a] + k] (the rank-successor
+    map psi applied k times), breaking only at the sti1 byte
+    saturation, which is handled by a sequential fixup."""
+    text = esa.text
+    n = esa.totallength
+    suftab = esa.suftab.astype(np.int64)
+    lcp = esa.lcptab
+    pl = esa.prefixlength
+    numofchars = esa.alpha.num_regular
+    qtext = query.sequence
+    m = qpos.size
+
+    qcodes, qvalid = bucket_codes(qtext, numofchars, pl)
+    valid = qvalid[qpos] == pl
+    codes = np.where(valid, qcodes[qpos], 0)
+    bck = esa.bcktab if esa.bcktab is not None else esa.aux_bck(pl)
+    bl = bck[2 * codes].astype(np.int64)
+    br = bck[2 * codes + 1].astype(np.int64)
+    nonempty = valid & (br > bl)
+
+    # insertion point + neighbor LCEs -> canonical maxlen and a member
+    k_idx = np.flatnonzero(nonempty)
+    maxlen = np.zeros(m, np.int64)
+    member = np.zeros(m, np.int64)
+    if k_idx.size:
+        maxw = int(np.max(br[k_idx] - bl[k_idx]))
+        nsteps = max(1, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
+        maxrem = int(rem[k_idx].max())
+        W = 64
+        maxchunks = max(1, int(np.ceil((maxrem - pl) / W)) + 1)
+        lb = _lower_bounds(esa, qtext, qpos[k_idx], rem[k_idx],
+                           bl[k_idx].astype(np.int32),
+                           br[k_idx].astype(np.int32),
+                           W, pl, n, int(qtext.size), nsteps,
+                           maxchunks)
+        cand0 = np.clip(lb - 1, bl[k_idx], br[k_idx] - 1)
+        cand1 = np.clip(lb, bl[k_idx], br[k_idx] - 1)
+        lce0 = _lce_host(text, suftab[cand0], qtext, qpos[k_idx])
+        lce1 = _lce_host(text, suftab[cand1], qtext, qpos[k_idx])
+        lce0 = np.minimum(lce0, rem[k_idx])
+        lce1 = np.minimum(lce1, rem[k_idx])
+        use0 = lce0 >= lce1
+        member[k_idx] = np.where(use0, cand0, cand1)
+        maxlen[k_idx] = np.where(use0, lce0, lce1)
+    offset = np.where(nonempty, maxlen, 0)
+
+    rmq = LcpRmq(lcp)
+    ileft = np.zeros(m, np.int64)
+    iright = np.zeros(m, np.int64)
+    if k_idx.size:
+        dep = np.maximum(maxlen[k_idx], 1)
+        ileft[k_idx] = _scan_left_batch(rmq, lcp, member[k_idx], dep)
+        iright[k_idx] = _scan_right_batch(rmq, lcp, member[k_idx],
+                                          dep)
+
+    proceed = nonempty & (maxlen >= searchlength)
+    witness = member.copy()
+    if qspeedup == 0:
+        # speedup 0 (matchsub.c:165-236): a fresh findmaxprefixlen
+        # replay from the bucket at every position
+        fi = np.flatnonzero(proceed)
+        if fi.size:
+            w0, w1 = _findmaxpref_batch(
+                text, n, suftab, bl[fi], br[fi] - 1,
+                np.full(fi.size, pl, np.int64), qtext, qpos[fi],
+                rem[fi])
+            witness[fi] = w1
+    else:
+        # sti1 byte table (saturating rank-within-bucket) + inverse
+        s1 = getattr(esa, "_sti1_cache", None)
+        if s1 is None:
+            from ..index.io import sti1_table
+
+            s1 = sti1_table(esa.suftab, lcp, pl)
+            esa._sti1_cache = s1
+        inv = esa.stitab
+        if inv is None:
+            inv = np.empty(suftab.size, np.int64)
+            inv[suftab] = np.arange(suftab.size, dtype=np.int64)
+            esa.stitab = inv
+        inv = inv.astype(np.int64)
+
+        seq_start = np.empty(m, bool)
+        seq_start[0] = True
+        if m > 1:
+            seq_start[1:] = qseq[1:] != qseq[:-1]
+        prev_off = np.roll(offset, 1)
+        prev_off[seq_start] = 0
+        prev_right = np.roll(iright, 1)
+        prev_left = np.roll(ileft, 1)
+        prev_ne = np.roll(nonempty, 1)
+        prev_ne[seq_start] = False
+        nxt = np.minimum(suftab[np.where(prev_ne, prev_right, 0)] + 1,
+                         suftab.size - 1)
+        capped = s1[nxt] == 255
+        fresh = nonempty & ((prev_off <= pl) | capped | seq_start)
+        shortcut = nonempty & ~fresh
+        iso = np.zeros(m, bool)
+        rankl = np.zeros(m, np.int64)
+        rankr = np.zeros(m, np.int64)
+        si = np.flatnonzero(shortcut)
+        if si.size:
+            d1 = prev_off[si] - 1
+            startl = np.minimum(
+                bl[si] + s1[np.minimum(suftab[prev_left[si]] + 1,
+                                       suftab.size - 1)],
+                lcp.size - 1)
+            startr = np.minimum(
+                bl[si] + s1[np.minimum(suftab[prev_right[si]] + 1,
+                                       suftab.size - 1)],
+                lcp.size - 1)
+            rankl[si] = _scan_left_batch(rmq, lcp, startl, d1)
+            rankr[si] = _scan_right_batch(rmq, lcp, startr, d1)
+            iso[si] = (rankr[si] - rankl[si]
+                       == prev_right[si] - prev_left[si])
+
+        noniso = shortcut & ~iso
+        # witnesses: replay for fresh and non-isomorphic shortcuts —
+        # ALL of them, not just emitting ones: any non-isomorphic
+        # position with a bucket can anchor a later isomorphic chain
+        fi = np.flatnonzero(fresh)
+        rep_idx = [fi]
+        rep_l = [bl[fi]]
+        rep_r = [br[fi] - 1]
+        rep_o = [np.full(fi.size, pl, np.int64)]
+        ni = np.flatnonzero(noniso)
+        rep_idx.append(ni)
+        rep_l.append(rankl[ni])
+        rep_r.append(rankr[ni])
+        rep_o.append(prev_off[ni] - 1)
+        ridx = np.concatenate(rep_idx)
+        if ridx.size:
+            w0, w1 = _findmaxpref_batch(
+                text, n, suftab, np.concatenate(rep_l),
+                np.concatenate(rep_r), np.concatenate(rep_o),
+                qtext, qpos[ridx], rem[ridx])
+            witness[ridx] = w1
+        # isomorphic chains: witness = inv[suftab[w_anchor] + k]
+        ii = np.flatnonzero(iso)
+        if ii.size:
+            anchor_ok = ~iso & nonempty
+            pidx = np.arange(m, dtype=np.int64)
+            last_anchor = np.maximum.accumulate(
+                np.where(anchor_ok, pidx, -1))
+            a = last_anchor[ii]
+            dist = ii - a
+            wsrc = witness[a]
+            raw = inv[np.minimum(suftab[wsrc] + dist,
+                                 suftab.size - 1)]
+            witness[ii] = raw
+            # byte saturation fixup: a chain step whose
+            # rank-within-bucket reaches 255 diverges from the closed
+            # form (matchsub.c RANKOFNEXTLEAF1 is the saturated byte)
+            capfail = (raw - bl[ii]) >= 255
+            if capfail.any():
+                bad = set()
+                first_bad = {}
+                for j in ii[capfail]:
+                    aj = int(last_anchor[j])
+                    if aj not in first_bad or j < first_bad[aj]:
+                        first_bad[aj] = int(j)
+                for aj, j0 in first_bad.items():
+                    w = int(witness[j0 - 1]) if j0 - 1 != aj else \
+                        int(witness[aj])
+                    p = j0
+                    while p < m and iso[p] and last_anchor[p] == aj:
+                        nx = min(int(suftab[w]) + 1,
+                                 int(suftab.size) - 1)
+                        w = int(bl[p]) + int(s1[nx])
+                        w = min(w, lcp.size - 1)
+                        witness[p] = w
+                        p += 1
+
+    return proceed, maxlen, witness
+
+
 def find_query_matches(
     esa: ESA,
     query: Multiseq,
     searchlength: int,
     mode: str = "mem",          # "mem" | "mumcand" | "mum"
     flags_extra: int = 0,
+    qspeedup: int = 2,
 ) -> MatchTable:
     """All maximal substring matches (or MUM candidates) of every
     query sequence vs the index, length >= searchlength."""
@@ -266,61 +587,18 @@ def find_query_matches(
     if qpos.size == 0:
         return MatchTable()
 
-    # bucket depth: within searchlength so the excluded special part
-    # cannot contain matches >= searchlength (see module docstring)
-    budget = 1 << 24
-    deep = int(math.log(budget) / math.log(numofchars))
-    d = min(deep, searchlength)
-    d = max(d, esa.prefixlength)
-    bck = (esa.aux_bck(d) if d != esa.prefixlength or esa.bcktab is None
-           else esa.bcktab)
-
-    qcodes, qvalid_depth = bucket_codes(qtext, numofchars, d)
-    codes = qcodes[qpos]
-    code_ok = qvalid_depth[qpos] == d
-    lo0 = np.zeros(qpos.size, np.int32)
-    hi0 = np.zeros(qpos.size, np.int32)
-    vc = np.where(code_ok, codes, 0)
-    lo0[code_ok] = bck[2 * vc[code_ok]].astype(np.int32)
-    hi0[code_ok] = bck[2 * vc[code_ok] + 1].astype(np.int32)  # mid
-
-    keep = code_ok & (hi0 > lo0)
-    if not keep.any():
-        return MatchTable()
-    qpos_k = qpos[keep]
-    rem_k = rem[keep]
-    lo0_k = lo0[keep]
-    hi0_k = hi0[keep]
-
-    maxw = int(np.max(hi0_k - lo0_k))
-    nsteps = max(1, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
-    maxrem = int(rem_k.max())
-    W = 64
-    maxchunks = max(1, int(np.ceil((maxrem - d) / W)) + 1)
-
-    lb = _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
-                       W, d, n, nq, nsteps, maxchunks)
-
-    # witness = neighbor of the insertion point with the longer lce
-    cand0 = np.clip(lb - 1, lo0_k, hi0_k - 1)
-    cand1 = np.clip(lb, lo0_k, hi0_k - 1)
-    suf = esa.suftab
-    lce0 = _lce_host(text, suf[cand0], qtext, qpos_k)
-    lce1 = _lce_host(text, suf[cand1], qtext, qpos_k)
-    use0 = lce0 >= lce1
-    witness = np.where(use0, cand0, cand1).astype(np.int64)
-    maxlcp = np.where(use0, lce0, lce1).astype(np.int64)
-
-    hit = maxlcp >= searchlength
+    # reference state machine: canonical intervals + the exact
+    # emission witness (speedup 2 by default, matchsub.c:353-539)
+    proceed, maxlen, wit_all = _ref_witness_state(
+        esa, query, searchlength, qpos, qseq, qoff, rem, qspeedup)
+    hit = proceed
     if not hit.any():
         return MatchTable()
-    witness = witness[hit]
-    maxlcp = maxlcp[hit]
-    qpos_h = qpos_k[hit]
-    # map back to (seq, off): reuse flat arrays
-    idx_flat = np.flatnonzero(keep)[hit]
-    qseq_h = qseq[idx_flat]
-    qoff_h = qoff[idx_flat]
+    witness = wit_all[hit]
+    maxlcp = maxlen[hit]
+    qpos_h = qpos[hit]
+    qseq_h = qseq[hit]
+    qoff_h = qoff[hit]
 
     lcp = esa.lcptab
     if mode in ("mumcand", "mum"):
