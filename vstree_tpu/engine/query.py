@@ -119,11 +119,13 @@ def _qsuffix_lower_bound(
 
 
 
-def _lce_host(text, a, qtext, b, cap: int = 64):
+def _lce_host(text, a, qtext, b, cap: int = 16):
     """Host-side batched longest-common-extension between text
     positions ``a`` and query positions ``b`` (chardef match rule:
-    specials never match).  Windowed numpy compares — RAM gathers are
-    orders of magnitude cheaper than device random gathers."""
+    specials never match).  Windowed numpy compares with geometric
+    window growth (most extensions are short; survivors shrink fast),
+    RAM gathers being orders of magnitude cheaper than device random
+    gathers."""
     m = int(a.size)
     n = int(text.size)
     nq = int(qtext.size)
@@ -132,8 +134,8 @@ def _lce_host(text, a, qtext, b, cap: int = 64):
     a = a.astype(np.int64)
     b = b.astype(np.int64)
     off = 0
-    offs = np.arange(cap)
     while act.size:
+        offs = np.arange(cap)
         ia = a[act][:, None] + off + offs[None, :]
         ib = b[act][:, None] + off + offs[None, :]
         va = ia < n
@@ -145,80 +147,171 @@ def _lce_host(text, a, qtext, b, cap: int = 64):
         lce[act] += run
         act = act[run == cap]
         off += cap
+        if cap < 1024:
+            cap *= 2
     return lce
 
 
 def _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
                   W, d, n, nq, nsteps, maxchunks):
-    """Insertion rank of every query suffix.
+    """Insertion rank of every query suffix in its bucket [lo0, hi0).
 
-    Fast path: the packed rank-key interval lookup of
-    engine/complete.py (integer-word probes on the precomputed key
-    tables — 100-1000x cheaper than byte-gather comparisons on TPU).
-    A suffix whose window is special-containing, or whose interval at
-    the key coverage depth is still wider than 1 while the suffix
-    continues past the coverage, falls back to the exact byte-compare
-    binary search (the witness semantics of both paths coincide on
-    the fast cases: for a full-window match the insertion point is the
-    interval's left end)."""
-    from .complete import RankLookupPlan
-
+    Host fast path: a batched binary search over the packed
+    base-(sigma+1) rank-word tables (index/esa.py rank_words — two
+    int32 words per rank covering 2*cpw chars past the bucket depth,
+    saturating-monotone over specials).  The whole probe is numpy
+    vector ops: ~log2(maxwidth) iterations of two gathers + compares.
+    A query that ties through the full word coverage with a block
+    wider than 1 falls back to an exact byte-compare search within
+    the tied block (skipping the covered prefix)."""
     B = qpos_k.size
-    lb = np.zeros(B, np.int64)
-    fallback = np.ones(B, bool)
-    minrem = int(rem_k.min(initial=1))
-    plan = RankLookupPlan(esa, minrem, minrem)
-    if plan.ok and B > 0:
-        C = plan.coverage
-        idx = qpos_k[:, None] + np.arange(C)[None, :]
-        win = qtext[np.minimum(idx, nq - 1)].astype(np.int32)
-        win[idx >= nq] = -1
-        plens = np.minimum(rem_k, C).astype(np.int32)
-        mask = np.arange(C)[None, :] < plens[:, None]
-        special = ((win >= WILDCARD) & mask).any(axis=1)
-        win = np.where(mask, win, -1)
-        flat8, _ = plan.pack(win, plens)
-        lo, hi = plan.run(flat8)
-        lo = np.asarray(lo)[:B].astype(np.int64)
-        hi = np.asarray(hi)[:B].astype(np.int64)
-        deep = (hi - lo > 1) & (rem_k > C)
-        fallback = special | deep
-        lb = lo
-    fidx = np.flatnonzero(fallback)
-    if fidx.size:
-        # the fallback search starts from the key-derived interval
-        # when available (all members share the C-prefix, so the
-        # byte compare skips the first C chars), else the bucket
-        if plan.ok:
-            flo = lo[fidx].astype(np.int32)
-            fhi = hi[fidx].astype(np.int32)
-            use_key = ~special[fidx]
-            flo = np.where(use_key, flo, lo0_k[fidx])
-            fhi = np.where(use_key, fhi, hi0_k[fidx])
-            fdepth = d  # conservative: specials mixed in, keep bucket
-        else:
-            flo = lo0_k[fidx]
-            fhi = hi0_k[fidx]
-            fdepth = d
-        maxw = int(np.max(fhi - flo)) if fidx.size else 2
-        fsteps = max(2, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
-        CB = 1 << 18
-        d_text = esa.device("text")
-        d_suf = esa.device("suftab")
-        qtext_dev = jnp.asarray(qtext)
-        parts = []
-        for g0 in range(0, fidx.size, CB):
-            gs = slice(g0, min(g0 + CB, fidx.size))
-            gi = fidx[gs]
-            parts.append(np.asarray(_qsuffix_lower_bound(
-                d_text, d_suf,
-                qtext_dev, jnp.asarray(qpos_k[gi], dtype=jnp.int32),
-                jnp.asarray(rem_k[gi], dtype=jnp.int32),
-                jnp.asarray(flo[gs]), jnp.asarray(fhi[gs]),
-                W, fdepth, n, nq, fsteps, maxchunks,
-            )))
-        lb[fidx] = np.concatenate(parts)
+    if B == 0:
+        return np.zeros(0, np.int64)
+    sigma = esa.alpha.num_regular
+    base = sigma + 1
+    cpw = esa.chars_per_word()
+    w1, w2 = esa.rank_words_host(d)
+    # query digit packing, saturation from first special/past-window
+    Wc = 2 * cpw
+    idx = qpos_k[:, None] + d + np.arange(Wc)[None, :]
+    inb = (idx < nq) & ((idx - qpos_k[:, None]) < rem_k[:, None])
+    ch = qtext[np.minimum(idx, nq - 1)].astype(np.int64)
+    specialc = (~inb) | (ch >= sigma)
+    sat = np.maximum.accumulate(specialc, axis=1)
+    dig = np.where(sat, sigma, ch)
+    q1 = np.zeros(B, np.int64)
+    q2 = np.zeros(B, np.int64)
+    for j in range(cpw):
+        q1 = q1 * base + dig[:, j]
+        q2 = q2 * base + dig[:, cpw + j]
+    q1 = q1.astype(np.int32)
+    q2 = q2.astype(np.int32)
+
+    lo = lo0_k.astype(np.int64).copy()
+    hi = hi0_k.astype(np.int64).copy()
+    while True:
+        open_ = lo < hi
+        if not open_.any():
+            break
+        ia = np.flatnonzero(open_)
+        mid = (lo[ia] + hi[ia]) // 2
+        m1 = w1[mid]
+        m2 = w2[mid]
+        lt = (m1 < q1[ia]) | ((m1 == q1[ia]) & (m2 < q2[ia]))
+        lo[ia[lt]] = mid[lt] + 1
+        hi[ia[~lt]] = mid[~lt]
+    lb = lo
+
+    # exact refinement inside word-tie blocks: only queries whose
+    # window is regular through the coverage AND continues past it
+    # can tie with a block wider than 1
+    C = d + Wc
+    unsat = ~sat[:, -1]
+    deep = unsat & (rem_k > C)
+    di = np.flatnonzero(deep)
+    if di.size:
+        at = np.minimum(lb[di], w1.size - 1)
+        tied = (w1[at] == q1[di]) & (w2[at] == q2[di])
+        di = di[tied]
+    if di.size:
+        # tie block [lb, tie_hi): extent of equal words
+        thi = lb[di].copy()
+        bh = hi0_k[di].astype(np.int64)
+        # gallop: find first rank with a different word pair
+        lo2 = lb[di].copy()
+        hi2 = bh.copy()
+        while True:
+            open_ = lo2 < hi2
+            if not open_.any():
+                break
+            ia = np.flatnonzero(open_)
+            mid = (lo2[ia] + hi2[ia]) // 2
+            eq = (w1[mid] == q1[di][ia]) & (w2[mid] == q2[di][ia])
+            lo2[ia[eq]] = mid[eq] + 1
+            hi2[ia[~eq]] = mid[~eq]
+        thi = lo2
+        # byte-exact lower bound within [lb, thi), compare from C
+        suftab = esa.suftab.astype(np.int64)
+        text = esa.text
+        lo3 = lb[di].copy()
+        hi3 = thi
+        start = np.full(di.size, C, np.int64)
+        while True:
+            open_ = lo3 < hi3
+            if not open_.any():
+                break
+            ia = np.flatnonzero(open_)
+            mid = (lo3[ia] + hi3[ia]) // 2
+            rel, _ = _compare_batch(
+                text, n, suftab[mid], qtext, qpos_k[di][ia],
+                rem_k[di][ia], start[ia])
+            # suffix < query  <=>  rel > 0
+            gt = rel > 0
+            lo3[ia[gt]] = mid[gt] + 1
+            hi3[ia[~gt]] = mid[~gt]
+        lb[di] = lo3
     return lb
+
+
+def _native_query_matches(esa: ESA, query: Multiseq,
+                          searchlength: int, flags_extra: int,
+                          qspeedup: int) -> MatchTable:
+    """MatchTable assembly over the native per-sequence scans."""
+    from ..native import querysub as _qs
+
+    pl = esa.prefixlength
+    if searchlength < pl:
+        raise ValueError(
+            f"searchlength={searchlength} must be >= prefixlength="
+            f"{pl}")
+    bck = esa.bcktab if esa.bcktab is not None else esa.aux_bck(pl)
+    s1 = getattr(esa, "_sti1_cache", None)
+    if s1 is None:
+        from ..index.io import sti1_table
+
+        s1 = sti1_table(esa.suftab, esa.lcptab, pl)
+        esa._sti1_cache = s1
+    rows_l = []
+    seq_l = []
+    start_l = []
+    for s in range(query.numofsequences):
+        a, b = query.seq_bounds(s)
+        if b - a < searchlength:
+            continue
+        rows = _qs.scan_sequence(
+            esa.text, esa.suftab, esa.lcptab, s1, bck,
+            esa.alpha.num_regular, pl, query.sequence[a:b],
+            searchlength, qspeedup)
+        if rows.size:
+            rows_l.append(rows)
+            seq_l.append(np.full(rows.shape[0], s, np.int64))
+            start_l.append(np.full(rows.shape[0], a, np.int64))
+    if not rows_l:
+        return MatchTable()
+    rows = np.concatenate(rows_l)
+    qs = np.concatenate(seq_l)
+    qstart = np.concatenate(start_l)
+    mlens = rows[:, 0]
+    sufstart = rows[:, 1]
+    qo = rows[:, 2]
+    ms = esa.multiseq
+    seq1, rel1 = ms.pos_to_pair(sufstart)
+    tot = mlens.size
+    return MatchTable(
+        length1=mlens,
+        position1=sufstart,
+        length2=mlens.copy(),
+        position2=qstart + qo,
+        distance=np.zeros(tot, np.int64),
+        flag=np.full(tot, FLAGQUERY | flags_extra, np.int64),
+        seqnum1=seq1,
+        relpos1=rel1,
+        seqnum2=qs,
+        relpos2=qo,
+        evalue=np.zeros(tot, np.float64),
+        idnumber=np.zeros(tot, np.int64),
+        transnum=np.full(tot, -1, np.int64),
+    )
 
 
 def _query_positions(query: Multiseq, searchlength: int):
@@ -582,6 +675,15 @@ def find_query_matches(
             f"searchlength={searchlength} must be >= prefixlength="
             f"{esa.prefixlength}"
         )
+
+    if mode == "mem" and qspeedup in (0, 2):
+        # native sequential scan (native/querysub.c): the reference's
+        # own O(1)-amortized state machine, fastest on host
+        from ..native import querysub as _qs
+
+        if _qs.available():
+            return _native_query_matches(esa, query, searchlength,
+                                         flags_extra, qspeedup)
 
     qpos, qseq, qoff, rem = _query_positions(query, searchlength)
     if qpos.size == 0:

@@ -194,10 +194,19 @@ class ESA:
                     w2 = w2 * base + dig[:, cpw + j]
                 out1[c0 : c0 + st.shape[0]] = w1.astype(np.int32)
                 out2[c0 : c0 + st.shape[0]] = w2.astype(np.int32)
+            self._rank_keys[("host",) + key] = (out1, out2)
             self._rank_keys[key] = (
                 jnp.asarray(out1.reshape(rows, 128)),
                 jnp.asarray(out2.reshape(rows, 128)),
             )
+        return self._rank_keys[key]
+
+    def rank_words_host(self, depth: int):
+        """Host (flat numpy) view of :meth:`rank_words` for the
+        CPU-side batched binary searches."""
+        key = ("host", "words", depth)
+        if key not in self._rank_keys:
+            self.rank_words(depth)
         return self._rank_keys[key]
 
     def aux_bck(self, depth: int) -> np.ndarray:
