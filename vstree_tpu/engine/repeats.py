@@ -511,12 +511,34 @@ def maximal_pairs_ref_order(esa: ESA, searchlength: int):
     return out
 
 
+def _use_device_engines() -> bool:
+    """Route the flat-array engines to the accelerator: always on TPU;
+    opt-in elsewhere (tests exercise the device path on the CPU backend
+    via VSTREE_DEVICE_ENGINES=1)."""
+    import os
+
+    v = os.environ.get("VSTREE_DEVICE_ENGINES")
+    if v is not None:
+        return v not in ("", "0")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def find_maximal_pairs_ref(esa: ESA, searchlength: int) -> MatchTable:
     """find_maximal_pairs with the reference's exact emission order
     (processexactselfmatch normalizes each pair to (min, max) —
     ACCEPTMATCH, fself.c:23-32).  Vectorized: pair enumeration by
-    run/RMQ expansion + the computed emission key, no traversal."""
-    d, ri, rj = maximal_pairs_ref_order_vec(esa, searchlength)
+    run/RMQ expansion + the computed emission key, no traversal.
+    On TPU the whole pipeline (expansion, RMQ, event times, emission
+    sort) runs as device programs (engine/repeats_dev.py)."""
+    if _use_device_engines():
+        from .repeats_dev import maximal_pairs_device
+
+        d, ri, rj = maximal_pairs_device(esa, searchlength,
+                                         ref_order=True)
+    else:
+        d, ri, rj = maximal_pairs_ref_order_vec(esa, searchlength)
     if d.size == 0:
         return MatchTable()
     p1 = esa.suftab[ri].astype(np.int64)

@@ -69,79 +69,12 @@ def maximal_prefixlength(numofchars: int, totallength: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# suffix sorting: prefix doubling
+# suffix sorting: seeded + compacted prefix doubling (index/sort.py)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _initial_ranks(text: jax.Array, n: int):
-    """Dense initial ranks from single-character keys (with the special
-    position rule folded in)."""
-    pos = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(text >= WILDCARD, 256 + pos, text.astype(jnp.int32))
-    sk, si = lax.sort((key, pos), num_keys=1, is_stable=True)
-    newgrp = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
-    )
-    dense = jnp.cumsum(newgrp)
-    rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
-    return rank, si, dense[-1]
-
-
-@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-def _doubling_round(rank: jax.Array, k: jax.Array, n: int):
-    """One prefix-doubling round: re-sort by (rank[i], rank[i+k]) and
-    re-rank densely.  Out-of-range rank2 is ``n`` (past-the-end runs
-    into the sentinel, which orders last)."""
-    pos = jnp.arange(n, dtype=jnp.int32)
-    r2 = jnp.where(pos + k < n, jnp.roll(rank, -k), jnp.int32(n))
-    # roll wraps; mask already handles wrapped entries.
-    r1s, r2s, si = lax.sort((rank, r2, pos), num_keys=2, is_stable=True)
-    newgrp = jnp.concatenate(
-        [
-            jnp.zeros(1, jnp.int32),
-            ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
-        ]
-    )
-    dense = jnp.cumsum(newgrp)
-    new_rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
-    return new_rank, si, dense[-1]
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def _suffix_sort_device(text: jax.Array, n: int):
-    """Full prefix-doubling sort as ONE device program (lax.while_loop
-    over doubling rounds) — no per-round host synchronisation, which
-    matters when device dispatch has latency (remote TPU)."""
-    rank0, si0, maxrank0 = _initial_ranks(text, n)
-
-    def cond(st):
-        _, _, maxrank, k = st
-        return (maxrank < n - 1) & (k < 2 * n)
-
-    def body(st):
-        rank, si, _, k = st
-        pos = jnp.arange(n, dtype=jnp.int32)
-        r2 = jnp.where(pos + k < n, jnp.roll(rank, -k), jnp.int32(n))
-        r1s, r2s, si = lax.sort((rank, r2, pos), num_keys=2,
-                                is_stable=True)
-        newgrp = jnp.concatenate([
-            jnp.zeros(1, jnp.int32),
-            ((r1s[1:] != r1s[:-1])
-             | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
-        ])
-        dense = jnp.cumsum(newgrp)
-        new_rank = jnp.zeros(n, jnp.int32).at[si].set(dense)
-        return new_rank, si, dense[-1], k * 2
-
-    _, si, _, _ = lax.while_loop(
-        cond, body, (rank0, si0, maxrank0, jnp.int32(1))
-    )
-    return si
-
-
 def suffix_sort(
-    text_np: np.ndarray, mesh=None
+    text_np: np.ndarray, mesh=None, sigma: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort all suffixes of the encoded text.
 
@@ -149,96 +82,27 @@ def suffix_sort(
     ``suftab[r]`` = start position of the rank-r suffix (with
     ``suftab[n] = n``, the sentinel) and ``stitab`` its inverse.
 
-    With ``mesh`` (a jax.sharding.Mesh over >1 device) every O(n)
-    array is laid out over the mesh and the doubling sort runs as an
-    XLA distributed sort (parallel/shardesa.py).
+    Single-device path: packed-key seeded, compacted prefix doubling
+    (:mod:`vstree_tpu.index.sort`).  With ``mesh`` (a
+    jax.sharding.Mesh over >1 device) every O(n) array is laid out
+    over the mesh and the doubling sort runs as an XLA distributed
+    sort (parallel/shardesa.py).
     """
     if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
         from ..parallel.shardesa import suffix_sort_sharded
 
         return suffix_sort_sharded(text_np, mesh)
-    n = int(text_np.size)
-    if n > 2 ** 31 - 512:
-        # int32 rank/key ceiling (the special-char keys add 256 + pos;
-        # the reference documents its own 400 M cap, virtman.tex:336)
-        raise ValueError(
-            f"input of {n} symbols exceeds the int32 rank limit "
-            "(2^31-512) of a single sort program; shard the text "
-            "(parallel/shardesa) or split the input")
-    if n == 0:
-        return np.array([0], np.int32), np.array([0], np.int32)
-    si = _suffix_sort_device(jnp.asarray(text_np), n)
-    suftab = np.empty(n + 1, np.int32)
-    suftab[:n] = np.asarray(si)
-    suftab[n] = n
-    stitab = np.empty(n + 1, np.int32)
-    stitab[suftab] = np.arange(n + 1, dtype=np.int32)
-    return suftab, stitab
+    from .sort import suffix_sort_host
+
+    return suffix_sort_host(text_np, sigma=sigma)
 
 
-# ---------------------------------------------------------------------------
-# fused build: sort + LCP as ONE device program
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnames=("n", "w", "maxrounds"))
-def _build_suf_lcp_device(text, n: int, w: int = 64,
-                          maxrounds: int = 64):
-    """Suffix sort + adjacent-pair LCP fused into a single dispatch
-    (no host synchronisation between the doubling rounds and the LCP
-    windows — matters through high-latency device links).  Returns
-    (si[n], lcp[n-1], active[n-1]): ``active`` marks straggler pairs
-    deeper than w*maxrounds (host-finished by the caller)."""
-    si = _suffix_sort_device(text, n)
-    a = si[:-1]
-    b = si[1:]
-    m = n - 1
-    offs = jnp.arange(w, dtype=jnp.int32)[None, :]
-
-    def cond(st):
-        _, active, it = st
-        return jnp.any(active) & (it < maxrounds)
-
-    def body(st):
-        lcp, active, it = st
-        ia = a[:, None] + lcp[:, None] + offs
-        ib = b[:, None] + lcp[:, None] + offs
-        va = ia < n
-        vb = ib < n
-        ca = text[jnp.minimum(ia, n - 1)]
-        cb = text[jnp.minimum(ib, n - 1)]
-        match = va & vb & (ca == cb) & (ca < WILDCARD)
-        run = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
-                      axis=1)
-        lcp = jnp.where(active, lcp + run, lcp)
-        active = active & (run == w)
-        return lcp, active, it + 1
-
-    lcp0 = jnp.zeros(m, jnp.int32)
-    act0 = jnp.ones(m, bool)
-    lcp, active, _ = lax.while_loop(cond, body,
-                                    (lcp0, act0, jnp.int32(0)))
-    return si, lcp, active
-
-
-def build_suf_lcp(text_np: np.ndarray):
-    """Host wrapper over the fused device build; returns
+def build_suf_lcp(text_np: np.ndarray, sigma: int | None = None):
+    """Suffix sort + adjacent-pair LCP, all on device; returns
     (suftab[n+1], lcptab[n+1]) with the usual sentinel conventions."""
-    n = int(text_np.size)
-    if n == 0:
-        return np.array([0], np.int32), np.zeros(1, np.int32)
-    si, lcp, active = _build_suf_lcp_device(jnp.asarray(text_np), n)
-    suftab = np.empty(n + 1, np.int32)
-    suftab[:n] = np.asarray(si)
-    suftab[n] = n
-    lcptab = np.zeros(n + 1, np.int32)
-    lcptab[1:n] = np.asarray(lcp)
-    act = np.asarray(active)
-    if act.any():
-        idx = np.flatnonzero(act)
-        deep = lcp_from_pairs(text_np, suftab[idx], suftab[idx + 1])
-        lcptab[idx + 1] = deep
-    return suftab, lcptab
+    from .sort import suf_lcp_host
+
+    return suf_lcp_host(text_np, sigma=sigma)
 
 
 # ---------------------------------------------------------------------------
@@ -273,21 +137,18 @@ def lcp_from_pairs(
     """Longest common prefix of suffix pairs (a[i], b[i]), vectorized.
 
     Used both for the lcp table (adjacent rank pairs) and by engines
-    needing ad-hoc lcp values.  With ``mesh`` the pair arrays are
-    sharded over the devices (embarrassingly pair-parallel).
+    needing ad-hoc lcp values.  Single-device path: the packed-word
+    ladder (index/sort.py).  With ``mesh`` the pair arrays are sharded
+    over the devices (embarrassingly pair-parallel windowed compare).
     """
     n = int(text_np.size)
     m = int(a_np.size)
     if m == 0:
         return np.zeros(0, np.int32)
-    if m > (1 << 22) and mesh is None:
-        # bound the [m, w] comparison matrices (w grows to 256):
-        # process pair chunks sequentially
-        C = 1 << 22
-        return np.concatenate([
-            lcp_from_pairs(text_np, a_np[i:i + C], b_np[i:i + C])
-            for i in range(0, m, C)
-        ])
+    if mesh is None:
+        from .sort import lce_pairs_host
+
+        return lce_pairs_host(text_np, a_np, b_np)
     mpad = m
     if mesh is not None:
         ndev = int(np.prod(list(mesh.shape.values())))
@@ -532,7 +393,16 @@ def build_esa(
     if prefixlength is None:
         prefixlength = recommended_prefixlength(numofchars, max(n, 1))
 
-    suftab, stitab = suffix_sort(text, mesh=mesh)
+    lcptab = None
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        suftab, stitab = suffix_sort(text, mesh=mesh)
+    elif "lcp" in demand or "skp" in demand:
+        # fused device program: sort + lcp share the doubling state
+        suftab, lcptab = build_suf_lcp(text, sigma=numofchars)
+        stitab = np.empty(n + 1, np.int32)
+        stitab[suftab] = np.arange(n + 1, dtype=np.int32)
+    else:
+        suftab, stitab = suffix_sort(text, sigma=numofchars)
     esa = ESA(
         multiseq=multiseq,
         alpha=alpha,
@@ -543,7 +413,8 @@ def build_esa(
         indexname=indexname,
     )
     if "lcp" in demand:
-        esa.lcptab = lcp_table(text, suftab, mesh=mesh)
+        esa.lcptab = (lcptab if lcptab is not None
+                      else lcp_table(text, suftab, mesh=mesh))
         esa.maxbranchdepth = int(esa.lcptab.max()) if n > 0 else 0
         esa.largelcpvalues = int((esa.lcptab >= 255).sum())
     if "bwt" in demand:
@@ -552,7 +423,8 @@ def build_esa(
         esa.bcktab = bck_table(text, numofchars, prefixlength)
     if "skp" in demand:
         if esa.lcptab is None:
-            esa.lcptab = lcp_table(text, suftab, mesh=mesh)
+            esa.lcptab = (lcptab if lcptab is not None
+                          else lcp_table(text, suftab, mesh=mesh))
         esa.skptab = skip_table(esa.lcptab)
     from ..core.debug import check_suftab, debug_level
 
