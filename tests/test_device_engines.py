@@ -1,0 +1,95 @@
+"""Device-path engines vs host oracles on the CPU backend.
+
+The TPU routes (engine/repeats_dev.py, engine/mstats.py, the blocked
+skip table) are plain JAX programs, so the CPU backend exercises the
+identical code the TPU runs (minus the compiler target)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_dna_text
+
+from vstree_tpu.core.alphabet import dna_alphabet
+from vstree_tpu.core.multiseq import Multiseq
+from vstree_tpu.engine.mstats import matching_statistics
+from vstree_tpu.engine.repeats import maximal_pairs_ref_order_vec
+from vstree_tpu.engine.repeats_dev import maximal_pairs_device
+from vstree_tpu.index.build import build_esa, skip_table
+
+
+def _ms_of(text):
+    m = Multiseq.__new__(Multiseq)
+    m.sequence = text
+    m.markpos = np.zeros(0, np.int64)
+    m.totallength = int(text.size)
+    m.numofsequences = 1
+    m.descriptions = [b"t"]
+    return m
+
+
+@pytest.mark.parametrize("L", [3, 5, 8])
+def test_repeats_device_matches_host(rng, L):
+    text = random_dna_text(rng, 4000, n_wild=8, n_sep=3)
+    esa = build_esa(_ms_of(text), dna_alphabet(),
+                    demand=("suf", "lcp", "bwt", "bck", "sti"))
+    d0, i0, j0 = maximal_pairs_ref_order_vec(esa, L)
+    d1, i1, j1 = maximal_pairs_device(esa, L, ref_order=True)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(j0, j1)
+
+
+def test_matching_statistics_vs_brute(rng):
+    for trial in range(4):
+        n = int(rng.integers(60, 200))
+        nq = int(rng.integers(20, 90))
+        text = random_dna_text(rng, n, n_wild=2, n_sep=1)
+        qtext = random_dna_text(rng, nq, n_wild=1, n_sep=1)
+        esa = build_esa(_ms_of(text), dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        ms, wit = matching_statistics(esa, qtext)
+        n, nq = text.size, qtext.size
+        for p in range(nq):
+            best = 0
+            for s in range(n):
+                l = 0
+                while (p + l < nq and s + l < n
+                       and text[s + l] == qtext[p + l]
+                       and text[s + l] < 250):
+                    l += 1
+                best = max(best, l)
+            assert ms[p] == best, (trial, p)
+            if best > 0:
+                # the witness realizes ms
+                w = int(esa.suftab[wit[p]])
+                got = 0
+                while (p + got < nq and w + got < n
+                       and text[w + got] == qtext[p + got]
+                       and text[w + got] < 250):
+                    got += 1
+                assert got >= best, (trial, p)
+
+
+def test_skip_table_adversarial():
+    cases = [
+        np.concatenate([[0], np.full(5000, 7, np.int32), [0]]),
+        np.concatenate([[0], np.arange(1, 3000, dtype=np.int32), [0]]),
+        np.zeros(777, np.int32),
+    ]
+    st = np.tile(np.array([3, 3, 3, 3, 2, 5, 5, 5, 1], np.int32), 400)
+    st[0] = 0
+    st[-1] = 0
+    cases.append(st)
+    for lcp in cases:
+        lcp = lcp.astype(np.int32)
+        n = lcp.size
+        got = skip_table(lcp)
+        want = np.empty(n, np.int64)
+        for i in range(n):
+            j = i + 1
+            while j < n and lcp[j] >= lcp[i]:
+                j += 1
+            want[i] = j - 1 if j < n else n - 1
+        np.testing.assert_array_equal(got, want)

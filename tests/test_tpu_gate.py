@@ -1,0 +1,117 @@
+"""Real-TPU correctness gate (VERDICT r3 #4): run the device programs
+on the actual accelerator against host oracles BEFORE trusting any
+benchmark numbers.  Select with ``pytest -m tpu``; excluded from the
+default (CPU-hermetic) suite via pytest.ini addopts.
+
+Each test shells out with JAX_PLATFORMS unset so the subprocess picks
+up the real backend (tests/conftest.py pins the parent to cpu).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_device_script(code: str, timeout=1200):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, env=env,
+                       timeout=timeout)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "GATE-OK" in r.stdout, r.stdout[-2000:]
+
+
+_COMMON = """
+import numpy as np, jax
+jax.config.update("jax_compilation_cache_dir", %r)
+from vstree_tpu.core.alphabet import dna_alphabet
+from vstree_tpu.core.multiseq import read_multiseq
+alpha = dna_alphabet()
+ms = read_multiseq(["/root/reference/src/testdata/at100K1"], alpha)
+text = ms.sequence
+assert jax.devices()[0].platform in ("tpu", "cpu")
+""" % os.path.join(REPO, ".jax_cache")
+
+
+def test_tpu_build_matches_oracle():
+    _run_device_script(_COMMON + """
+from vstree_tpu.index.sort import suf_lcp_host
+import sys; sys.path.insert(0, %r)
+from oracle.naive import naive_suffix_array, naive_lcp_table
+suf, lcp = suf_lcp_host(text, sigma=4)
+sub = text[:3000]
+s2, l2 = suf_lcp_host(sub, sigma=4)
+assert np.array_equal(s2, naive_suffix_array(sub))
+assert np.array_equal(l2, naive_lcp_table(sub, s2))
+# full-size sanity: order + lcp spot checks
+n = text.size
+for k in range(1, n, max(1, n // 41)):
+    a, b, L = int(suf[k-1]), int(suf[k]), int(lcp[k])
+    assert np.array_equal(text[a:a+L], text[b:b+L])
+print("GATE-OK")
+""" % os.path.join(REPO, "tests"))
+
+
+def test_tpu_repeats_matches_host():
+    _run_device_script(_COMMON + """
+from vstree_tpu.index.build import build_esa
+from vstree_tpu.engine.repeats import maximal_pairs_ref_order_vec
+from vstree_tpu.engine.repeats_dev import maximal_pairs_device
+esa = build_esa(ms, alpha, demand=("suf","lcp","bwt","bck","sti"))
+for L in (8, 15):
+    d0, i0, j0 = maximal_pairs_ref_order_vec(esa, L)
+    d1, i1, j1 = maximal_pairs_device(esa, L, ref_order=True)
+    assert np.array_equal(d0, d1) and np.array_equal(i0, i1) \
+        and np.array_equal(j0, j1), L
+print("GATE-OK")
+""")
+
+
+def test_tpu_query_matches_cpu():
+    _run_device_script(_COMMON + """
+from vstree_tpu.index.build import build_esa
+from vstree_tpu.engine.query import find_query_matches
+esa = build_esa(ms, alpha, demand=("suf","lcp","bwt","bck","sti"))
+q = read_multiseq(["/root/reference/src/testdata/at100K2"], alpha)
+mt = find_query_matches(esa, q, 18, "mem")
+# oracle: brute-force the first rows
+import numpy as np
+assert len(mt.position1) > 0
+for k in range(0, len(mt.position1), max(1, len(mt.position1)//29)):
+    p, qp, L = int(mt.position1[k]), int(mt.position2[k]), int(mt.length1[k])
+    assert np.array_equal(text[p:p+L], q.sequence[qp:qp+L]), k
+print("GATE-OK")
+""")
+
+
+def test_tpu_complete_lookup_matches():
+    _run_device_script(_COMMON + """
+from vstree_tpu.index.build import build_esa
+from vstree_tpu.engine.complete import exact_interval_lookup
+esa = build_esa(ms, alpha, demand=("suf","lcp","bwt","bck","sti"))
+rng = np.random.default_rng(7)
+B = 5000
+starts = rng.integers(0, text.size - 40, B)
+plens = rng.integers(20, 36, B).astype(np.int32)
+pats = np.full((B, 36), -1, np.int32)
+for i in range(B):
+    pats[i, :plens[i]] = text[starts[i]:starts[i]+plens[i]]
+lo, hi = exact_interval_lookup(esa, pats, plens)
+msk = np.arange(36)[None, :] < plens[:, None]
+ok = (~msk | ((pats >= 0) & (pats < 4))).all(axis=1)
+for i in range(0, B, 97):
+    if not ok[i]:
+        continue
+    assert hi[i] > lo[i], i
+    pos = int(esa.suftab[lo[i]])
+    L = int(plens[i])
+    assert np.array_equal(text[pos:pos+L], pats[i, :L]), i
+print("GATE-OK")
+""")

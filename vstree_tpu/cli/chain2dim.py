@@ -73,12 +73,19 @@ def parse_chain_args(argv):
         elif a == "-withinborders":
             mode.withinborders = True
         elif a == "-thread":
-            # chncallparse.c:314-330: optional minlen1/erate1[/minlen2/
-            # erate2] numeric arguments
+            # chncallparse.c:177-222: keyword-value pairs minlen1/
+            # maxerror1/minlen2/maxerror2 (all optional)
             mode.dothreading = True
-            while i + 1 < len(argv) and not argv[i + 1].startswith("-") \
-                    and i + 1 < len(argv) - 1:
-                i += 1
+            keys = {"minlen1": "minthreadlen1", "maxerror1": "maxerror1",
+                    "minlen2": "minthreadlen2", "maxerror2": "maxerror2"}
+            while i + 2 < len(argv) and argv[i + 1] in keys:
+                val = int(argv[i + 2])
+                if val <= 0:
+                    raise SystemExit(
+                        f"chain2dim: argument of {argv[i + 1]} must be "
+                        "positive")
+                setattr(mode, keys[argv[i + 1]], val)
+                i += 2
         elif a == "-v":
             pass
         elif not a.startswith("-"):
@@ -104,6 +111,18 @@ def run(argv: list[str], out=None) -> int:
     digits = assign_virtual_digits(mf.esa.multiseq)
     if mf.query is not None:
         assign_query_digits(digits, mf.query)
+    if mode.dothreading:
+        # chain2dim.mn.c routes -thread through vmatchchaining too, so
+        # the standalone tool shows the same diagonal dump
+        from ..postprocess.chain import _diagonal_dump
+
+        def emit_rows(sub, fh):
+            for line in render_matches(sub, mf.esa.multiseq, digits,
+                                       mf.showmode, mf.query):
+                fh.write(line + "\n")
+
+        _diagonal_dump(mf.table, emit_rows, out)
+        return 0
     for ci, (frags, sc) in enumerate(zip(res.fragments, res.scores)):
         print(f"# chain {ci}: length {frags.size} score {sc}",
               file=out)

@@ -60,6 +60,7 @@ def run(argv: list[str]) -> int:
     db: list[str] = []
     indexname = None
     verbose = False
+    cpl = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -72,11 +73,12 @@ def run(argv: list[str]) -> int:
             i += 1; indexname = argv[i]; i += 1; continue
         if a == "-v":
             verbose = True; i += 1; continue
-        if a in ("-cpl", "-maxdepth"):
-            # -cpl complements the input first; -maxdepth is a sort
-            # performance hint (the doubling sort always completes)
-            if a == "-maxdepth" and i + 1 < len(argv) \
-                    and argv[i + 1].isdigit():
+        if a == "-cpl":
+            cpl = True; i += 1; continue
+        if a == "-maxdepth":
+            # sort performance hint (the doubling sort always
+            # completes); reference forwards it to mkvtree
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
                 i += 1
             i += 1; continue
         raise SystemExit(f"mkrcidx: illegal option {a}")
@@ -91,6 +93,13 @@ def run(argv: list[str]) -> int:
 
     alpha = dna_alphabet()
     ms = read_multiseq(db, alpha)
+    if cpl:
+        # -cpl complements the input in place before the rc-pair
+        # construction (reference: mkvtreeinput applies OPTCPL before
+        # mkrcsequences2index; mkvinput.c:173-309)
+        comp = np.arange(256, dtype=np.uint8)
+        comp[0:4] = [3, 2, 1, 0]
+        ms.sequence = comp[ms.sequence]
     rcms = rcplus_multiseq(ms)
     esa = build_esa(rcms, alpha, demand=("suf", "lcp", "bwt"))
     if verbose:

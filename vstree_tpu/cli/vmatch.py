@@ -359,6 +359,29 @@ def parse_args(argv: list[str]) -> dict:
             else:
                 opts[key] = ""
             i += 1; continue
+        if key in ("dbms", "mysql"):
+            # compile-gated VMATCHDB SQL export (Vmatch/vmdbfunc.c,
+            # OFF in the shipped Makefile, Vmatch/Makefile:3-4)
+            raise SystemExit(
+                "vmatch: option -dbms is not supported: the database "
+                "export is compile-gated OFF in the reference "
+                "(VMATCHDB, Vmatch/Makefile:3-4) and deliberately "
+                "excluded here; see the capability matrix in README")
+        if key in ("regexp", "agrep"):
+            # WITHREGEXP / WITHAGREP need external automata libraries
+            # (fcomplete.c:17-24) and are OFF in the shipped build
+            raise SystemExit(
+                f"vmatch: option -{key} is not supported: it needs "
+                "the external libautomata build (fcomplete.c:17-24, "
+                "OFF in the shipped reference); deliberately excluded "
+                "here; see the capability matrix in README")
+        if key in ("pssm", "vplugin", "vmotif", "cpridx"):
+            # vendored lib-homann PSSM search / the vplugin ABI
+            raise SystemExit(
+                f"vmatch: option -{key} is not supported: the "
+                "PSSM/vplugin search ships as vendored tarballs in "
+                "the reference (lib-homann/) and is deliberately "
+                "excluded here; see the capability matrix in README")
         raise SystemExit(f"vmatch: illegal option {a}")
     if opts["index"] is None:
         raise SystemExit("vmatch: the last argument must be the index name")
@@ -414,9 +437,10 @@ def run(argv: list[str], out=None) -> int:
     out = out or sys.stdout
     opts = parse_args(argv)
     # queryspeedup: option, overridden by env QUERYSPEEDUP
-    # (parsevm.c:1126-1137,1642); algorithms 0 and 2 (the default)
-    # are reproduced probe-exactly, 3-5 produce the same match set
-    # in algorithm-2 order
+    # (parsevm.c:1126-1137,1642); algorithms 0, 2 (the default) and 5
+    # are reproduced probe-exactly; 1 is rejected with the reference's
+    # own message, 3 crashes the reference (not supported here), 4
+    # demands the experimental lsf table that no builder emits
     import os as _os
 
     qsp = opts["qspeedup"] if opts["qspeedup"] is not None else 2
@@ -436,8 +460,19 @@ def run(argv: list[str], out=None) -> int:
             "Algorithm 0, or 2; we recommend Algorithm 2")
     if qsp > 5:
         raise SystemExit(f"vmatch: illegal speedup value {qsp}")
-    if qsp >= 3:
-        qsp = 2
+    if qsp == 3:
+        # the reference binary crashes on -qspeedup 3 (matchsub.c:539
+        # walks an inconsistent sti1 state); refuse explicitly
+        raise SystemExit(
+            "vmatch: Algorithm 3 is not supported (it crashes the "
+            "reference implementation); please use Algorithm 0, 2 "
+            "or 5")
+    if qsp == 4:
+        # Algorithm 4 demands the experimental lsf table
+        # (mapdemand.c:8-39), which no shipped builder emits
+        raise SystemExit(
+            f'vmatch: cannot read file "{opts["index"]}.lsf": '
+            "open failed: No such file or directory")
     esa = read_index(opts["index"])
     # -numproc N (parsevm.c:877, vdfstrav.c:419-499 DISTRIBUTEDDFS):
     # distribute the rank range over N devices of a jax mesh

@@ -50,270 +50,6 @@ from .repeats import LcpRmq, _l_runs
 _SPECIAL = 1 << 20
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("W", "depth", "n", "nq", "nsteps", "maxchunks"),
-)
-def _qsuffix_lower_bound(
-    text, suftab, qtext, qpos, rem, lo0, hi0,
-    W: int, depth: int, n: int, nq: int, nsteps: int, maxchunks: int,
-):
-    """First rank in [lo0, hi0) whose suffix orders >= the query suffix
-    (query window of length rem at qpos).  Chunked lexicographic
-    compare: the first ``depth`` chars are bucket-equal and skipped."""
-
-    offs = jnp.arange(W, dtype=jnp.int32)
-
-    def rel_fn(spos):
-        """sign(suffix - query) per probe, chunked compare."""
-        B = spos.shape[0]
-
-        def cond(state):
-            c, rel, done = state
-            return (c < maxchunks) & ~jnp.all(done)
-
-        def body(state):
-            c, rel, done = state
-            off = depth + c * W + offs            # [W]
-            qi = qpos[:, None] + off[None, :]
-            si = spos[:, None] + off[None, :]
-            s_in = si < n
-            q_in = off[None, :] < rem[:, None]
-            sch = text[jnp.minimum(si, n - 1)].astype(jnp.int32)
-            qch = qtext[jnp.minimum(qi, nq - 1)].astype(jnp.int32)
-            skey = jnp.where(s_in & (sch < WILDCARD), sch,
-                             _SPECIAL + si)
-            diff = jnp.where(q_in, skey - qch, 0)
-            nz = diff != 0
-            first = jnp.argmax(nz, axis=1)
-            anynz = jnp.any(nz, axis=1)
-            d = jnp.take_along_axis(diff, first[:, None], axis=1)[:, 0]
-            newrel = jnp.where(anynz, jnp.sign(d), 0)
-            exhausted = depth + (c + 1) * W >= rem  # query window done
-            rel = jnp.where(done, rel, newrel)
-            done = done | anynz | exhausted
-            return c + 1, rel, done
-
-        B0 = jnp.zeros(spos.shape[0], jnp.int32)
-        _, rel, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), B0, jnp.zeros_like(B0, bool))
-        )
-        return rel
-
-    zero = jnp.zeros_like(lo0)
-
-    def step(_, st):
-        lo, hi = st
-        open_ = lo < hi
-        mid = (lo + hi) // 2
-        rel = rel_fn(suftab[mid].astype(jnp.int32))
-        lo = jnp.where(open_ & (rel < 0), mid + 1, lo)
-        hi = jnp.where(open_ & (rel >= 0), mid, hi)
-        return lo, hi
-
-    lo, _ = lax.fori_loop(0, nsteps, step, (lo0 + zero, hi0 + zero))
-    return lo
-
-
-
-
-
-
-def _lce_host(text, a, qtext, b, cap: int = 16):
-    """Host-side batched longest-common-extension between text
-    positions ``a`` and query positions ``b`` (chardef match rule:
-    specials never match).  Windowed numpy compares with geometric
-    window growth (most extensions are short; survivors shrink fast),
-    RAM gathers being orders of magnitude cheaper than device random
-    gathers."""
-    m = int(a.size)
-    n = int(text.size)
-    nq = int(qtext.size)
-    lce = np.zeros(m, np.int64)
-    act = np.arange(m)
-    a = a.astype(np.int64)
-    b = b.astype(np.int64)
-    off = 0
-    while act.size:
-        offs = np.arange(cap)
-        ia = a[act][:, None] + off + offs[None, :]
-        ib = b[act][:, None] + off + offs[None, :]
-        va = ia < n
-        vb = ib < nq
-        ca = text[np.minimum(ia, n - 1)]
-        cb = qtext[np.minimum(ib, nq - 1)]
-        match = va & vb & (ca == cb) & (ca < WILDCARD)
-        run = np.cumprod(match, axis=1).sum(axis=1)
-        lce[act] += run
-        act = act[run == cap]
-        off += cap
-        if cap < 1024:
-            cap *= 2
-    return lce
-
-
-def _lower_bounds(esa, qtext, qpos_k, rem_k, lo0_k, hi0_k,
-                  W, d, n, nq, nsteps, maxchunks):
-    """Insertion rank of every query suffix in its bucket [lo0, hi0).
-
-    Host fast path: a batched binary search over the packed
-    base-(sigma+1) rank-word tables (index/esa.py rank_words — two
-    int32 words per rank covering 2*cpw chars past the bucket depth,
-    saturating-monotone over specials).  The whole probe is numpy
-    vector ops: ~log2(maxwidth) iterations of two gathers + compares.
-    A query that ties through the full word coverage with a block
-    wider than 1 falls back to an exact byte-compare search within
-    the tied block (skipping the covered prefix)."""
-    B = qpos_k.size
-    if B == 0:
-        return np.zeros(0, np.int64)
-    sigma = esa.alpha.num_regular
-    base = sigma + 1
-    cpw = esa.chars_per_word()
-    w1, w2 = esa.rank_words_host(d)
-    # query digit packing, saturation from first special/past-window
-    Wc = 2 * cpw
-    idx = qpos_k[:, None] + d + np.arange(Wc)[None, :]
-    inb = (idx < nq) & ((idx - qpos_k[:, None]) < rem_k[:, None])
-    ch = qtext[np.minimum(idx, nq - 1)].astype(np.int64)
-    specialc = (~inb) | (ch >= sigma)
-    sat = np.maximum.accumulate(specialc, axis=1)
-    dig = np.where(sat, sigma, ch)
-    q1 = np.zeros(B, np.int64)
-    q2 = np.zeros(B, np.int64)
-    for j in range(cpw):
-        q1 = q1 * base + dig[:, j]
-        q2 = q2 * base + dig[:, cpw + j]
-    q1 = q1.astype(np.int32)
-    q2 = q2.astype(np.int32)
-
-    lo = lo0_k.astype(np.int64).copy()
-    hi = hi0_k.astype(np.int64).copy()
-    while True:
-        open_ = lo < hi
-        if not open_.any():
-            break
-        ia = np.flatnonzero(open_)
-        mid = (lo[ia] + hi[ia]) // 2
-        m1 = w1[mid]
-        m2 = w2[mid]
-        lt = (m1 < q1[ia]) | ((m1 == q1[ia]) & (m2 < q2[ia]))
-        lo[ia[lt]] = mid[lt] + 1
-        hi[ia[~lt]] = mid[~lt]
-    lb = lo
-
-    # exact refinement inside word-tie blocks: only queries whose
-    # window is regular through the coverage AND continues past it
-    # can tie with a block wider than 1
-    C = d + Wc
-    unsat = ~sat[:, -1]
-    deep = unsat & (rem_k > C)
-    di = np.flatnonzero(deep)
-    if di.size:
-        at = np.minimum(lb[di], w1.size - 1)
-        tied = (w1[at] == q1[di]) & (w2[at] == q2[di])
-        di = di[tied]
-    if di.size:
-        # tie block [lb, tie_hi): extent of equal words
-        thi = lb[di].copy()
-        bh = hi0_k[di].astype(np.int64)
-        # gallop: find first rank with a different word pair
-        lo2 = lb[di].copy()
-        hi2 = bh.copy()
-        while True:
-            open_ = lo2 < hi2
-            if not open_.any():
-                break
-            ia = np.flatnonzero(open_)
-            mid = (lo2[ia] + hi2[ia]) // 2
-            eq = (w1[mid] == q1[di][ia]) & (w2[mid] == q2[di][ia])
-            lo2[ia[eq]] = mid[eq] + 1
-            hi2[ia[~eq]] = mid[~eq]
-        thi = lo2
-        # byte-exact lower bound within [lb, thi), compare from C
-        suftab = esa.suftab.astype(np.int64)
-        text = esa.text
-        lo3 = lb[di].copy()
-        hi3 = thi
-        start = np.full(di.size, C, np.int64)
-        while True:
-            open_ = lo3 < hi3
-            if not open_.any():
-                break
-            ia = np.flatnonzero(open_)
-            mid = (lo3[ia] + hi3[ia]) // 2
-            rel, _ = _compare_batch(
-                text, n, suftab[mid], qtext, qpos_k[di][ia],
-                rem_k[di][ia], start[ia])
-            # suffix < query  <=>  rel > 0
-            gt = rel > 0
-            lo3[ia[gt]] = mid[gt] + 1
-            hi3[ia[~gt]] = mid[~gt]
-        lb[di] = lo3
-    return lb
-
-
-def _native_query_matches(esa: ESA, query: Multiseq,
-                          searchlength: int, flags_extra: int,
-                          qspeedup: int) -> MatchTable:
-    """MatchTable assembly over the native per-sequence scans."""
-    from ..native import querysub as _qs
-
-    pl = esa.prefixlength
-    if searchlength < pl:
-        raise ValueError(
-            f"searchlength={searchlength} must be >= prefixlength="
-            f"{pl}")
-    bck = esa.bcktab if esa.bcktab is not None else esa.aux_bck(pl)
-    s1 = getattr(esa, "_sti1_cache", None)
-    if s1 is None:
-        from ..index.io import sti1_table
-
-        s1 = sti1_table(esa.suftab, esa.lcptab, pl)
-        esa._sti1_cache = s1
-    rows_l = []
-    seq_l = []
-    start_l = []
-    for s in range(query.numofsequences):
-        a, b = query.seq_bounds(s)
-        if b - a < searchlength:
-            continue
-        rows = _qs.scan_sequence(
-            esa.text, esa.suftab, esa.lcptab, s1, bck,
-            esa.alpha.num_regular, pl, query.sequence[a:b],
-            searchlength, qspeedup)
-        if rows.size:
-            rows_l.append(rows)
-            seq_l.append(np.full(rows.shape[0], s, np.int64))
-            start_l.append(np.full(rows.shape[0], a, np.int64))
-    if not rows_l:
-        return MatchTable()
-    rows = np.concatenate(rows_l)
-    qs = np.concatenate(seq_l)
-    qstart = np.concatenate(start_l)
-    mlens = rows[:, 0]
-    sufstart = rows[:, 1]
-    qo = rows[:, 2]
-    ms = esa.multiseq
-    seq1, rel1 = ms.pos_to_pair(sufstart)
-    tot = mlens.size
-    return MatchTable(
-        length1=mlens,
-        position1=sufstart,
-        length2=mlens.copy(),
-        position2=qstart + qo,
-        distance=np.zeros(tot, np.int64),
-        flag=np.full(tot, FLAGQUERY | flags_extra, np.int64),
-        seqnum1=seq1,
-        relpos1=rel1,
-        seqnum2=qs,
-        relpos2=qo,
-        evalue=np.zeros(tot, np.float64),
-        idnumber=np.zeros(tot, np.int64),
-        transnum=np.full(tot, -1, np.int64),
-    )
-
-
 def _query_positions(query: Multiseq, searchlength: int):
     """Flattened (qpos, qseq, qoff, rem) for every query offset with
     remaining length >= searchlength (matchsub.c loop bounds)."""
@@ -432,39 +168,65 @@ def _findmaxpref_batch(text, n, suftab, left, right, offset,
     return wit0, wit1
 
 
-def _scan_left_batch(rmq, lcp, idx, depth):
-    """scanleft (matchsub.c:59-72) batched: max s in (0, idx] with
-    lcp[s] < depth, else 0 — the interval's left boundary."""
-    lo = np.zeros(idx.size, np.int64)
-    hi = idx.astype(np.int64).copy()
-    while True:
-        open_ = lo < hi
-        if not open_.any():
-            break
-        ia = np.flatnonzero(open_)
-        mid = (lo[ia] + hi[ia] + 1) // 2
-        found = rmq.query(mid, idx[ia].astype(np.int64)) < depth[ia]
-        lo[ia] = np.where(found, mid, lo[ia])
-        hi[ia] = np.where(found, hi[ia], mid - 1)
-    return lo
+def _dev_lcp_rmq(esa):
+    """Device sparse range-min table over the db lcp array (cached)."""
+    cache = esa._device_cache
+    if "lcp_rmq" not in cache:
+        from .repeats_dev import _rmq_build
+
+        n1 = int(esa.lcptab.size)
+        levels = max(1, int(np.floor(np.log2(max(n1, 2)))) + 1)
+        table = _rmq_build(
+            jnp.asarray(esa.lcptab.astype(np.int32)), n1, levels)
+        cache["lcp_rmq"] = (table, levels, n1)
+    return cache["lcp_rmq"]
 
 
-def _scan_right_batch(rmq, lcp, idx, depth):
-    """scanright (matchsub.c:89-102) batched: (min s > idx with
-    lcp[s] < depth) - 1 — the interval's right boundary."""
-    nmax = lcp.size - 1
-    lo = idx.astype(np.int64) + 1
-    hi = np.full(idx.size, nmax, np.int64)
-    while True:
-        open_ = lo < hi
-        if not open_.any():
-            break
-        ia = np.flatnonzero(open_)
-        mid = (lo[ia] + hi[ia]) // 2
-        found = rmq.query(lo[ia], mid) < depth[ia]
-        hi[ia] = np.where(found, mid, hi[ia])
-        lo[ia] = np.where(found, lo[ia], mid + 1)
-    return lo - 1
+@functools.partial(jax.jit, static_argnames=("levels", "n1"))
+def _scan_left_dev(table, idx, depth, levels: int, n1: int):
+    """scanleft (matchsub.c:59-72): max s in (0, idx] with
+    lcp[s] < depth, else 0 — aligned-window descent, one gather per
+    level (lcp[0] == 0 < depth bounds the walk)."""
+    t = idx
+    for e in range(levels - 1, -1, -1):
+        lo = t - (1 << e) + 1
+        mn = table[e, jnp.clip(lo, 0, n1 - 1)]
+        t = jnp.where((lo >= 0) & (mn >= depth), t - (1 << e), t)
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "n1"))
+def _scan_right_dev(table, idx, depth, levels: int, n1: int):
+    """scanright (matchsub.c:89-102): (min s > idx with
+    lcp[s] < depth) - 1 — aligned-window descent (lcp[n] == 0 bounds
+    the walk)."""
+    t = idx
+    nmax = n1 - 1
+    for e in range(levels - 1, -1, -1):
+        mn = table[e, jnp.clip(t + 1, 0, n1 - 1)]
+        t = jnp.where((t + (1 << e) <= nmax) & (mn >= depth),
+                      t + (1 << e), t)
+    return t
+
+
+def _scan_left_batch(esa, idx, depth):
+    table, levels, n1 = _dev_lcp_rmq(esa)
+    if idx.size == 0:
+        return np.zeros(0, np.int64)
+    out = _scan_left_dev(
+        table, jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(depth.astype(np.int32)), levels, n1)
+    return np.asarray(out).astype(np.int64)
+
+
+def _scan_right_batch(esa, idx, depth):
+    table, levels, n1 = _dev_lcp_rmq(esa)
+    if idx.size == 0:
+        return np.zeros(0, np.int64)
+    out = _scan_right_dev(
+        table, jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(depth.astype(np.int32)), levels, n1)
+    return np.asarray(out).astype(np.int64)
 
 
 def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
@@ -499,51 +261,50 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
     br = bck[2 * codes + 1].astype(np.int64)
     nonempty = valid & (br > bl)
 
-    # insertion point + neighbor LCEs -> canonical maxlen and a member
+    # canonical maxlen + a witness member: matching statistics of the
+    # whole query text via the merged suffix ordering (engine/mstats
+    # — replaces the per-suffix insertion search + char-level LCEs,
+    # whose total work is Theta(sum of match lengths) and explodes on
+    # self-similar db/query pairs)
     k_idx = np.flatnonzero(nonempty)
     maxlen = np.zeros(m, np.int64)
     member = np.zeros(m, np.int64)
     if k_idx.size:
-        maxw = int(np.max(br[k_idx] - bl[k_idx]))
-        nsteps = max(1, int(np.ceil(np.log2(max(maxw, 2)))) + 1)
-        maxrem = int(rem[k_idx].max())
-        W = 64
-        maxchunks = max(1, int(np.ceil((maxrem - pl) / W)) + 1)
-        lb = _lower_bounds(esa, qtext, qpos[k_idx], rem[k_idx],
-                           bl[k_idx].astype(np.int32),
-                           br[k_idx].astype(np.int32),
-                           W, pl, n, int(qtext.size), nsteps,
-                           maxchunks)
-        cand0 = np.clip(lb - 1, bl[k_idx], br[k_idx] - 1)
-        cand1 = np.clip(lb, bl[k_idx], br[k_idx] - 1)
-        lce0 = _lce_host(text, suftab[cand0], qtext, qpos[k_idx])
-        lce1 = _lce_host(text, suftab[cand1], qtext, qpos[k_idx])
-        lce0 = np.minimum(lce0, rem[k_idx])
-        lce1 = np.minimum(lce1, rem[k_idx])
-        use0 = lce0 >= lce1
-        member[k_idx] = np.where(use0, cand0, cand1)
-        maxlen[k_idx] = np.where(use0, lce0, lce1)
+        from .mstats import matching_statistics
+
+        ms_all, wit_all = matching_statistics(esa, qtext)
+        maxlen[k_idx] = np.minimum(ms_all[qpos[k_idx]], rem[k_idx])
+        member[k_idx] = wit_all[qpos[k_idx]]
     offset = np.where(nonempty, maxlen, 0)
 
-    rmq = LcpRmq(lcp)
     ileft = np.zeros(m, np.int64)
     iright = np.zeros(m, np.int64)
     if k_idx.size:
         dep = np.maximum(maxlen[k_idx], 1)
-        ileft[k_idx] = _scan_left_batch(rmq, lcp, member[k_idx], dep)
-        iright[k_idx] = _scan_right_batch(rmq, lcp, member[k_idx],
-                                          dep)
+        ileft[k_idx] = _scan_left_batch(esa, member[k_idx], dep)
+        iright[k_idx] = _scan_right_batch(esa, member[k_idx], dep)
 
     proceed = nonempty & (maxlen >= searchlength)
     witness = member.copy()
-    if qspeedup == 0:
+    if qspeedup in (0, 5):
         # speedup 0 (matchsub.c:165-236): a fresh findmaxprefixlen
-        # replay from the bucket at every position
+        # replay from the bucket at every position; speedup 5
+        # (matchsub.c:963-1036) replays the same walk over the WHOLE
+        # suffix array (its table demand is empty, mapdemand.c:8-39)
         fi = np.flatnonzero(proceed)
         if fi.size:
+            if qspeedup == 5:
+                # matchsub.c:992-1005: vnode = [0, totallength-1]
+                # (sentinel rank excluded), offset 0
+                rl = np.zeros(fi.size, np.int64)
+                rr = np.full(fi.size, int(suftab.size) - 2, np.int64)
+                off0 = np.zeros(fi.size, np.int64)
+            else:
+                rl = bl[fi]
+                rr = br[fi] - 1
+                off0 = np.full(fi.size, pl, np.int64)
             w0, w1 = _findmaxpref_batch(
-                text, n, suftab, bl[fi], br[fi] - 1,
-                np.full(fi.size, pl, np.int64), qtext, qpos[fi],
+                text, n, suftab, rl, rr, off0, qtext, qpos[fi],
                 rem[fi])
             witness[fi] = w1
     else:
@@ -590,8 +351,8 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
                 bl[si] + s1[np.minimum(suftab[prev_right[si]] + 1,
                                        suftab.size - 1)],
                 lcp.size - 1)
-            rankl[si] = _scan_left_batch(rmq, lcp, startl, d1)
-            rankr[si] = _scan_right_batch(rmq, lcp, startr, d1)
+            rankl[si] = _scan_left_batch(esa, startl, d1)
+            rankr[si] = _scan_right_batch(esa, startr, d1)
             iso[si] = (rankr[si] - rankl[si]
                        == prev_right[si] - prev_left[si])
 
@@ -675,15 +436,6 @@ def find_query_matches(
             f"searchlength={searchlength} must be >= prefixlength="
             f"{esa.prefixlength}"
         )
-
-    if mode == "mem" and qspeedup in (0, 2):
-        # native sequential scan (native/querysub.c): the reference's
-        # own O(1)-amortized state machine, fastest on host
-        from ..native import querysub as _qs
-
-        if _qs.available():
-            return _native_query_matches(esa, query, searchlength,
-                                         flags_extra, qspeedup)
 
     qpos, qseq, qoff, rem = _query_positions(query, searchlength)
     if qpos.size == 0:

@@ -305,67 +305,103 @@ def bck_table(
 # ---------------------------------------------------------------------------
 
 
+_SKP_BLOCK = 64
+
+
 def skip_table(lcptab: np.ndarray) -> np.ndarray:
     """skp[i] = (smallest j > i with lcp[j] < lcp[i]) - 1, i.e. the
     last rank of the run with lcp >= lcp[i]; totallength if none —
     reference kurtz/mkskip.c:62-83 semantics, used by the
     esahamming/esaapm scan to jump doomed subtrees.
 
-    Next-smaller-value as one device program: a sparse table of range
-    minima (log n shifted-minimum levels) + a batched binary search —
-    O(n log n) flat gathers instead of the former per-element host
-    stack loop.
+    Next-smaller-value in O(n) memory (the former [log n, n] sparse
+    table could not fit large indexes): a shifted-window near scan
+    (pure vector shifts, no gathers) resolves everything within two
+    blocks; escapees descend a sparse table over BLOCK minima (n/64
+    entries) and finish with one in-block scan.
     """
     n1 = int(lcptab.size)  # n+1 entries; totallength = n1 - 1
     if n1 <= 1:
         return np.full(n1, n1 - 1, np.int64)
-    levels = max(1, int(np.floor(np.log2(n1))) + 1)
-    skp = _skip_table_device(
-        jnp.asarray(lcptab.astype(np.int32)), n1, levels)
-    return np.asarray(skp).astype(np.int64)
+    B = _SKP_BLOCK
+    nb = (n1 + B - 1) // B
+    blevels = max(1, int(np.floor(np.log2(max(nb, 2)))) + 1)
+    lcp_dev = jnp.asarray(lcptab.astype(np.int32))
+    ans, esc = _skp_phase12(lcp_dev, n1, nb, blevels)
+    ans_h = np.asarray(ans).astype(np.int64)
+    esc_h = np.asarray(esc)
+    ei = np.flatnonzero(esc_h)
+    if ei.size:
+        fine = _skp_inblock(
+            lcp_dev, jnp.asarray(ans_h[ei].astype(np.int32)),
+            jnp.asarray(lcptab[ei].astype(np.int32)), n1)
+        ans_h[ei] = np.asarray(fine)
+    # skp = ans - 1; none -> totallength (n1 - 1)
+    return np.minimum(ans_h, n1) - 1
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "levels"))
-def _skip_table_device(lcp, n1: int, levels: int):
-    BIG = jnp.int32(2 ** 30)
-    # sparse table: table[k][i] = min lcp[i .. i+2^k-1] (out of range
-    # entries padded with BIG)
-    tabs = [lcp]
-    for k in range(1, levels):
-        prev = tabs[-1]
-        half = 1 << (k - 1)
-        shifted = jnp.concatenate(
-            [prev[half:], jnp.full(min(half, n1), BIG, jnp.int32)])
-        tabs.append(jnp.minimum(prev, shifted))
-    table = jnp.stack(tabs)          # [levels, n1]
-    log2 = jnp.asarray(
-        np.floor(np.log2(np.maximum(np.arange(n1 + 2), 1))), jnp.int32)
-
-    def range_min(lo, hi):
-        """min lcp[lo..hi], elementwise; BIG where lo > hi."""
-        width = hi - lo + 1
-        k = log2[jnp.maximum(width, 1)]
-        a = table[k, jnp.minimum(lo, n1 - 1)]
-        b = table[k, jnp.clip(hi - (1 << k) + 1, 0, n1 - 1)]
-        return jnp.where(width >= 1, jnp.minimum(a, b), BIG)
-
+@functools.partial(jax.jit, static_argnames=("n1", "nb", "blevels"))
+def _skp_phase12(lcp, n1: int, nb: int, blevels: int):
+    """Phases 1+2: near answers (exact positions) and, for escapees,
+    the START of the first far block whose minimum dips below lcp[i]
+    (escape mask returned separately; phase 3 resolves in-block)."""
+    B = _SKP_BLOCK
+    BIG = jnp.int32(2**30)
     idx = jnp.arange(n1, dtype=jnp.int32)
-    has = range_min(idx + 1, jnp.int32(n1 - 1)) < lcp
-    lo = jnp.where(has, idx + 1, n1)
-    hi = jnp.where(has, jnp.int32(n1 - 1), jnp.int32(n1))
+    INF = jnp.int32(n1)
 
-    def body(_, st):
-        lo, hi = st
-        open_ = lo < hi
-        mid = (lo + hi) // 2
-        cond = range_min(idx + 1, mid) < lcp
-        lo = jnp.where(open_ & ~cond, mid + 1, lo)
-        hi = jnp.where(open_ & cond, mid, hi)
-        return lo, hi
+    # phase 1: shifted-window scan to the end of the NEXT block (the
+    # acceptance bound keeps phases gap- and overlap-free); shifts are
+    # pure vector ops, no gathers
+    limit = (idx // B + 2) * B - 1
+    ans = jnp.full(n1, INF, jnp.int32)
+    for k in range(1, 2 * B + 1):
+        sh = jnp.concatenate(
+            [lcp[k:], jnp.full(min(k, n1), BIG, jnp.int32)])
+        hit = (sh < lcp) & (idx + k <= limit)
+        ans = jnp.where((ans == INF) & hit, idx + k, ans)
 
-    nsteps = levels + 1
-    lo, _ = lax.fori_loop(0, nsteps, body, (lo, hi))
-    return jnp.where(has, lo - 1, jnp.int32(n1 - 1))
+    # phase 2: first BLOCK b >= block(i)+2 with min < lcp[i] —
+    # aligned-window descent on a sparse table over block minima
+    # (n/64 entries per level: O(n) total memory)
+    pad = nb * B - n1
+    lcp_pad = (jnp.concatenate([lcp, jnp.full(pad, BIG, jnp.int32)])
+               if pad else lcp)
+    bmin = jnp.min(lcp_pad.reshape(nb, B), axis=1)
+    btabs = [bmin]
+    for e in range(1, blevels):
+        prev = btabs[-1]
+        half = 1 << (e - 1)
+        shifted = jnp.concatenate(
+            [prev[half:], jnp.full(min(half, nb), BIG, jnp.int32)])
+        btabs.append(jnp.minimum(prev, shifted))
+    btab = jnp.stack(btabs)
+
+    v = lcp
+    t = idx // B + 1
+    for e in range(blevels - 1, -1, -1):
+        mn = btab[e, jnp.clip(t + 1, 0, nb - 1)]
+        ok = (t + (1 << e) <= nb) & (mn >= v)
+        t = jnp.where(ok, t + (1 << e), t)
+    bstar = t + 1  # first block >= block(i)+2 with bmin < v (>= nb: none)
+    found_blk = (bstar < nb) & (btab[0, jnp.clip(bstar, 0, nb - 1)] < v)
+    esc = (ans == INF) & found_blk
+    ans = jnp.where(esc, jnp.clip(bstar, 0, nb - 1) * B, ans)
+    return ans, esc
+
+
+@jax.jit
+def _skp_inblock(lcp, base, v, n1: int = None):
+    """Phase 3: exact first j in [base, base+B) with lcp[j] < v."""
+    B = _SKP_BLOCK
+    n1 = lcp.shape[0]
+    off = jnp.full(base.shape[0], B, jnp.int32)
+    for k in range(B - 1, -1, -1):
+        cand = base + k
+        val = lcp[jnp.minimum(cand, n1 - 1)]
+        ok = (cand < n1) & (val < v)
+        off = jnp.where(ok, k, off)
+    return base + off
 
 
 # ---------------------------------------------------------------------------

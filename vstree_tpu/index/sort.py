@@ -205,20 +205,29 @@ def _sa_from_rank(rank, n: int):
         jnp.arange(n, dtype=jnp.int32))
 
 
-def device_suffix_sort(text_dev, n: int, sigma: int):
+def device_suffix_sort(text_dev, n: int, sigma: int,
+                       collect_snapshots: bool = False):
     """Suffix sort of the whole encoded text; returns sa (device int32
     [n], sa[r] = start of rank-r suffix, sentinel excluded).
 
     Host-driven round loop: one scalar sync per doubling round (the
     live count steers compaction); every O(n)-sized op stays on
     device.
-    """
+
+    With ``collect_snapshots`` also returns the list of
+    (certified_depth, rank_array) snapshots taken after every round —
+    rank_k[a] == rank_k[b]  iff  lce(a, b) >= k, the EXACT certificate
+    that powers depth-independent O(log n) LCE descents
+    (:func:`lce_via_snapshots`)."""
     bits, D = sort_pack_params(sigma)
     sa0, rank, rank_by_slot, active = _initial_phase(
         text_dev, n, sigma, bits, D)
+    snaps = []
+    if collect_snapshots:
+        snaps.append((D, rank + 0))
     cnt = int(jnp.sum(active.astype(jnp.int32)))
     if cnt == 0:
-        return sa0
+        return (sa0, snaps) if collect_snapshots else sa0
     # start at full width with identity slots (no compaction cost);
     # ghosts ride along until the live count halves
     M = n
@@ -231,14 +240,73 @@ def device_suffix_sort(text_dev, n: int, sigma: int):
             rank, slots, p, r1, jnp.int32(k), M, n)
         cnt = int(cnt_dev)
         k *= 2
+        if collect_snapshots and cnt > 0:
+            snaps.append((k, rank + 0))
         if cnt == 0:
-            return _sa_from_rank(rank, n)
+            sa = _sa_from_rank(rank, n)
+            return (sa, snaps) if collect_snapshots else sa
         if k > 4 * n:  # pragma: no cover - invariant safety net
             raise AssertionError("suffix sort failed to converge")
         M2 = _nice_size(cnt)
         if M2 <= M // 2:
             slots, p, r1 = _compact_live(slots, p, r1, live, M, M2, n)
             M = M2
+
+
+# ---------------------------------------------------------------------------
+# depth-independent LCE by snapshot descent
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bits", "D", "ks"))
+def _lce_descent(ranks, P, a, b, n: int, bits: int, D: int,
+                 ks: tuple):
+    """lce(a, b) via the doubling certificates: descend the snapshot
+    levels (rank_k[x] == rank_k[y] iff lce(x, y) >= k), each level
+    accepted at most once, then resolve the sub-D remainder from one
+    packed-word compare.  O(#levels) gathers per pair, independent of
+    the lcp depth — the right tool for highly repetitive corpora where
+    the windowed ladder would walk arbitrarily far."""
+    l = jnp.zeros(a.shape[0], jnp.int32)
+    for j in range(len(ks) - 1, -1, -1):
+        r = ranks[j]
+        ia = a + l
+        ib = b + l
+        ok = (ia < n) & (ib < n)
+        eq = ok & (r[jnp.minimum(ia, n - 1)]
+                   == r[jnp.minimum(ib, n - 1)])
+        l = jnp.where(eq, l + ks[j], l)
+    # remainder < ks[0] (the smallest certificate depth) via packed
+    # words — the word covers D chars, which may be less than ks[0]-1
+    # for some alphabets, hence the (static) multi-step loop
+    kmask = (1 << (D * bits)) - 1
+    nsteps = max(1, -(-(ks[0] - 1) // D))
+    done = jnp.zeros(a.shape[0], bool)
+    for _ in range(nsteps):
+        ia = a + l
+        ib = b + l
+        pa = P[jnp.minimum(ia, n - 1)]
+        pb = P[jnp.minimum(ib, n - 1)]
+        offa = jnp.where(ia < n,
+                         lax.shift_right_logical(pa, D * bits), 0)
+        offb = jnp.where(ib < n,
+                         lax.shift_right_logical(pb, D * bits), 0)
+        x = (pa ^ pb) & kmask
+        msb = lax.population_count(_smear(x)) - 1
+        fd = jnp.where(x == 0, jnp.int32(D), D - 1 - msb // bits)
+        rem = jnp.minimum(fd, jnp.minimum(offa, offb))
+        l = l + jnp.where(done, 0, rem)
+        done = done | (rem < D)
+    return l
+
+
+def lce_with_snapshots(snaps, P, a_dev, b_dev, n: int, sigma: int):
+    """Vectorized lce over suffix pairs using sort snapshots."""
+    bits, D = lce_pack_params(sigma)
+    ks = tuple(k for k, _ in snaps)
+    ranks = [r for _, r in snaps]
+    return _lce_descent(ranks, P, a_dev.astype(jnp.int32),
+                        b_dev.astype(jnp.int32), n, bits, D, ks)
 
 
 # ---------------------------------------------------------------------------

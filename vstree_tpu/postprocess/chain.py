@@ -45,6 +45,11 @@ class ChainMode:
     outprefix: str | None = None
     withinborders: bool = False
     dothreading: bool = False
+    # -thread keyword arguments (chncallparse.c:177-222)
+    minthreadlen1: int = 0
+    maxerror1: int = 0
+    minthreadlen2: int = 0
+    maxerror2: int = 0
 
 
 @dataclass
@@ -309,6 +314,28 @@ def _retrieve_chains(mt, mode, n, w, ig, tg, gc, local, score, prev,
     return Chains(chains, scores, mt)
 
 
+def _diagonal_dump(sub: MatchTable, emit_rows, out) -> None:
+    """The SHIPPED behavior of ``-pp chain ... thread``
+    (filterinterestingbins, Vmatch/chainvm.c:365-399): matches sorted
+    by diagonal descending / position2 ascending
+    (comparediagonals, kurtz/matsort.c:375-407), each prefixed with a
+    ``diag N`` line, followed by the bin statistics
+    (bucketintobins, chainvm.c:337-363).  The gap-threading code
+    behind it (threadchain.c) is dead in the reference binaries —
+    filterinterestingbins intercepts every dothreading call — so the
+    observable contract reproduced here is the diagonal dump."""
+    diag = (sub.position2 - sub.position1).astype(np.int64)
+    order = np.lexsort((sub.position2, -diag))
+    s = sub.select(order)
+    sdiag = diag[order]
+    for i in range(len(s)):
+        out.write(f"diag {int(sdiag[i])}\n")
+        emit_rows(s.select(np.array([i])), out)
+    out.write(f"numofmatches={len(s)}\n")
+    ndiags = 1 + int(np.sum(np.diff(sdiag) != 0)) if len(s) else 0
+    out.write(f"numofdiags={ndiags}\n")
+
+
 def vmatch_chaining(
     mt: MatchTable,
     mode: ChainMode,
@@ -331,11 +358,11 @@ def vmatch_chaining(
     """
     if len(mt) == 0:
         return
-    if mode.dothreading:
-        raise SystemExit(
-            "vmatch: -pp chain thread is not implemented")
 
     def do_group(sub: MatchTable) -> None:
+        if mode.dothreading:
+            _diagonal_dump(sub, emit_rows, out)
+            return
         res = chain_fragments(sub, mode)
         if not res.fragments:
             raise SystemExit(
