@@ -524,45 +524,57 @@ def edit_extend_seeds(
     slen = seeds.length1.astype(np.int64)
     n1, n2 = sq.n1, sq.n2
 
-    lf, hl = edit_fronts(
-        sq, pos1 - 1, pos2 - 1, pos1, pos2, maxdist,
-        forward=False, reachlength=seedlength,
-    )
-    rf, hr = edit_fronts(
-        sq, pos1 + slen, pos2 + slen,
-        n1 - (pos1 + slen), n2 - (pos2 + slen), maxdist,
-        forward=True, reachlength=None,
-    )
-    remain = np.maximum(leastlength - slen, 0)
+    from .repeats import _use_device_engines
 
-    # prefilter (extendED.c:141-200): max seq2-extension on each side
-    def maxext(fr, h):
-        D = 2 * maxdist + 1
-        ks = np.arange(-maxdist, maxdist + 1, dtype=np.int64)
-        m = np.zeros(S, np.int64)
-        for p in range(maxdist + 1):
-            vals = fr[:, p, :]
-            ok = (vals > NEG) & (p <= h[:, None])
-            v = np.where(ok, vals + ks[None, :], 0)
-            m = np.maximum(m, v.max(axis=1))
-        return m
+    if _use_device_engines():
+        # fronts + viability prefilter on device; only the surviving
+        # seeds' front tensors are downloaded (engine/gextend_dev.py)
+        from .gextend_dev import edit_fronts_viable
 
-    viable = maxext(lf, hl) + maxext(rf, hr) >= remain
+        vidx, lf, hl, rf, hr = edit_fronts_viable(
+            sq, pos1, pos2, slen, maxdist, leastlength, seedlength)
+        if vidx.size == 0:
+            return MatchTable()
+    else:
+        lf, hl = edit_fronts(
+            sq, pos1 - 1, pos2 - 1, pos1, pos2, maxdist,
+            forward=False, reachlength=seedlength,
+        )
+        rf, hr = edit_fronts(
+            sq, pos1 + slen, pos2 + slen,
+            n1 - (pos1 + slen), n2 - (pos2 + slen), maxdist,
+            forward=True, reachlength=None,
+        )
+        remain = np.maximum(leastlength - slen, 0)
 
-    # compact to the viable seeds (extendED.c:141-200 bails out per
-    # seed; for -l 30 -e 2 on at1MB ~97% of the 350k seeds die here,
-    # so the combination loops below must not drag them along)
-    vidx = np.flatnonzero(viable)
-    if vidx.size == 0:
-        return MatchTable()
-    lf = lf[vidx]
-    hl = hl[vidx]
-    rf = rf[vidx]
-    hr = hr[vidx]
+        # prefilter (extendED.c:141-200): max seq2-extension per side
+        def maxext(fr, h):
+            D = 2 * maxdist + 1
+            ks = np.arange(-maxdist, maxdist + 1, dtype=np.int64)
+            m = np.zeros(S, np.int64)
+            for p in range(maxdist + 1):
+                vals = fr[:, p, :]
+                ok = (vals > NEG) & (p <= h[:, None])
+                v = np.where(ok, vals + ks[None, :], 0)
+                m = np.maximum(m, v.max(axis=1))
+            return m
+
+        viable = maxext(lf, hl) + maxext(rf, hr) >= remain
+
+        # compact to the viable seeds (extendED.c:141-200 bails out
+        # per seed; for -l 30 -e 2 on at1MB ~97% of the 350k seeds die
+        # here, so the combination loops must not drag them along)
+        vidx = np.flatnonzero(viable)
+        if vidx.size == 0:
+            return MatchTable()
+        lf = lf[vidx]
+        hl = hl[vidx]
+        rf = rf[vidx]
+        hr = hr[vidx]
     pos1 = pos1[vidx]
     pos2 = pos2[vidx]
     slen = slen[vidx]
-    remain = remain[vidx] if remain.ndim else remain
+    remain = np.maximum(leastlength - slen, 0)
     S = vidx.size
     viable = np.ones(S, bool)
 

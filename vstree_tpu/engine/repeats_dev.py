@@ -118,10 +118,11 @@ def _runs_compact(lcp, n1: int, L: int, MR: int):
 @functools.partial(
     jax.jit,
     static_argnames=("T", "R", "n1", "steps", "sigma", "want_order",
-                     "pack20"))
+                     "pack20", "d16"))
 def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
                  T: int, R: int, n1: int, steps: int,
-                 sigma: int, want_order: bool, pack20: bool):
+                 sigma: int, want_order: bool, pack20: bool,
+                 d16: bool):
     """One chunk of expanded candidate pairs (static T), run-chunked.
 
     left/right: [R] interval bounds of this chunk's runs (padded n1);
@@ -176,9 +177,15 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
             return w1, w2
         return ra, rb
 
+    def dpack(dv):
+        return dv.astype(jnp.int16) if d16 else dv
+
     if not want_order:
+        d = _rmq_query(rmq, log2tab, ri + 1, rj, n1)
+        d = jnp.where(diverse, d, 0)
         w1, w2 = pack(ri, rj)
-        return w1, w2, diverse, jnp.sum(diverse.astype(jnp.int32))
+        return (w1, w2, dpack(d), diverse,
+                jnp.sum(diverse.astype(jnp.int32)))
 
     d = _rmq_query(rmq, log2tab, ri + 1, rj, n1)
     d = jnp.where(diverse, d, 0)
@@ -208,7 +215,8 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
     negd = jnp.int32(2**30) - d
     order = jnp.lexsort((Y, Bk, A, F, negd, t_key))
     w1, w2 = pack(ri[order], rj[order])
-    return w1, w2, diverse[order], jnp.sum(diverse.astype(jnp.int32))
+    return (w1, w2, dpack(d[order]), diverse[order],
+            jnp.sum(diverse.astype(jnp.int32)))
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +257,8 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
     steps = min(levels,
                 max(1, int(np.ceil(np.log2(max(maxw + 1, 2)))) + 1))
     pack20 = n1 <= (1 << 20)
+    d16 = (esa.maxbranchdepth or (1 << 30)) < (1 << 15) \
+        if esa.maxbranchdepth is not None else False
 
     # chunk on run boundaries, bounded expanded pair count
     cum = np.cumsum(npairs)
@@ -285,22 +295,23 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
         out = _pairs_chunk(
             rmq, log2tab, bwt, jnp.asarray(lpad), jnp.asarray(rpad),
             jnp.asarray(cpad), T, R, n1, steps, sigma, ref_order,
-            pack20)
+            pack20, d16)
         pend.append(out)
 
-    out_i, out_j = [], []
-    for w1, w2, div, cnt_dev in pend:
+    out_d, out_i, out_j = [], [], []
+    for w1, w2, dcol, div, cnt_dev in pend:
         cnt = int(cnt_dev)
         if cnt == 0:
             continue
         if ref_order:
             w1h = np.asarray(w1[:cnt])
-            w2h = np.asarray(w2[:cnt]) if pack20 else np.asarray(
-                w2[:cnt])
+            w2h = np.asarray(w2[:cnt])
+            dh = np.asarray(dcol[:cnt])
         else:
             dv = np.asarray(div)
             w1h = np.asarray(w1)[dv]
             w2h = np.asarray(w2)[dv]
+            dh = np.asarray(dcol)[dv]
         if pack20:
             u1 = w1h.view(np.uint32)
             ri = (u1 & 0xFFFFF).astype(np.int64)
@@ -309,19 +320,10 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
         else:
             ri = w1h.astype(np.int64)
             rj = w2h.astype(np.int64)
+        out_d.append(dh.astype(np.int64))
         out_i.append(ri)
         out_j.append(rj)
     if not out_i:
         return z, z, z
-    ri = np.concatenate(out_i)
-    rj = np.concatenate(out_j)
-    # depths host-side (cheaper than shipping a third column through a
-    # thin device link): one sparse-table RMQ over the host lcp
-    from .repeats import LcpRmq
-
-    rmq_h = getattr(esa, "_rmq_host", None)
-    if rmq_h is None:
-        rmq_h = LcpRmq(lcp_h)
-        esa._rmq_host = rmq_h
-    d = rmq_h.query(ri + 1, rj).astype(np.int64)
-    return d, ri, rj
+    return (np.concatenate(out_d), np.concatenate(out_i),
+            np.concatenate(out_j))

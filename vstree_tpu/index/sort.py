@@ -347,9 +347,9 @@ def _smear(x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("M", "n", "bits", "D", "W"))
-def _lce_round(P, a, b, l, idx, M: int, n: int, bits: int,
-               D: int, W: int = 1):
+                   static_argnames=("M", "na", "nb", "bits", "D", "W"))
+def _lce_round(Pa, Pb, a, b, l, idx, M: int, na: int, nb: int,
+               bits: int, D: int, W: int = 1):
     """Advance lcp of M (padded) pairs by up to W*D chars.  ONE int32
     gather per side per word (digits + special offset share the word);
     the W word windows are compared at fixed offsets, a word's
@@ -363,12 +363,12 @@ def _lce_round(P, a, b, l, idx, M: int, n: int, bits: int,
     for w in range(W):
         ia0 = a + l + w * D
         ib0 = b + l + w * D
-        pa = P[jnp.minimum(ia0, n - 1)]
-        pb = P[jnp.minimum(ib0, n - 1)]
+        pa = Pa[jnp.minimum(ia0, na - 1)]
+        pb = Pb[jnp.minimum(ib0, nb - 1)]
         # a position at/after n is the sentinel (empty suffix): off 0
-        offa = jnp.where(ia0 < n,
+        offa = jnp.where(ia0 < na,
                          lax.shift_right_logical(pa, D * bits), 0)
-        offb = jnp.where(ib0 < n,
+        offb = jnp.where(ib0 < nb,
                          lax.shift_right_logical(pb, D * bits), 0)
         x = (pa ^ pb) & kmask
         msb = lax.population_count(_smear(x)) - 1
@@ -405,32 +405,43 @@ def _lce_harvest(l, idx, res):
 
 
 def device_lce_pairs(text_dev, n: int, sigma: int, a_dev, b_dev,
-                     npairs: int, tables=None):
-    """lce(suffix a[i], suffix b[i]) for npairs pairs, on device.
+                     npairs: int, tables=None, tables_b=None,
+                     nb: int | None = None, init_l=None,
+                     active0=None):
+    """lce(suffix a[i] of text A, suffix b[i] of text B) for npairs
+    pairs, on device.
 
-    ``tables`` may carry a precomputed (K, off) pair from
-    :func:`_lce_tables` to share across calls.  Returns a device int32
-    array of length npairs.
+    ``tables`` may carry a precomputed packed-word table from
+    :func:`_lce_tables` to share across calls; ``tables_b``/``nb``
+    select a second text for cross-text extension (defaults: same
+    text).  ``init_l`` seeds the extension lengths and ``active0``
+    masks lanes that should not advance at all.  Returns a device
+    int32 array of length npairs.
     """
     bits, D = lce_pack_params(sigma)
     if tables is None:
         tables = _lce_tables(text_dev, n, bits, D)
     P = tables
+    Pb = tables_b if tables_b is not None else P
+    nb = n if nb is None else nb
     if npairs == 0:
         return jnp.zeros(0, jnp.int32)
     M = npairs
     a = a_dev.astype(jnp.int32)
     b = b_dev.astype(jnp.int32)
     idx = jnp.arange(npairs, dtype=jnp.int32)
-    l = jnp.zeros(M, jnp.int32)
-    res = jnp.zeros(npairs, jnp.int32)
+    if active0 is not None:
+        idx = jnp.where(active0, idx, -1)
+    l = (jnp.zeros(M, jnp.int32) if init_l is None
+         else init_l.astype(jnp.int32))
+    res = l + 0
     while True:
         # widen the word window once the live set is small: deep
         # stragglers advance up to 16*D chars per dispatch without
         # inflating the cost of the full-width early rounds
         W = 1 if M > (1 << 22) else (4 if M > (1 << 19) else 16)
         l, active, cnt_dev = _lce_round(
-            P, a, b, l, idx, M, n, bits, D, W)
+            P, Pb, a, b, l, idx, M, n, nb, bits, D, W)
         cnt = int(cnt_dev)
         if cnt == 0:
             return _lce_harvest(l, idx, res)

