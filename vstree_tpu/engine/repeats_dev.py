@@ -10,10 +10,9 @@ programs on the TPU:
 - run detection + compaction: two small dispatches over the lcp array,
 - per chunk of expanded pairs (bounded T): ONE dispatch computing
   decode, diversity, RMQ depth, the event-time descent and the
-  emission-key lexsort; only packed (rank_i, rank_j) words are
-  downloaded (5 bytes/pair when ranks fit 20 bits) — depths are
-  recomputed host-side from the lcp RMQ, which is cheaper than
-  shipping them through a thin device link,
+  emission-key lexsort; the downloads are packed (rank_i, rank_j)
+  words (5 bytes/pair when ranks fit 20 bits) plus int16 depths when
+  maxbranchdepth allows — the device link is the bottleneck,
 - chunks are dispatched ahead of their downloads, so device compute
   overlaps the transfer and the host-side record assembly.
 

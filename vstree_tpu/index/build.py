@@ -5,30 +5,14 @@ The reference builds its ESA with a three-stage comparison sort
 deep buckets; src/Mkvtree/ppsort.c, bese.c, remainsort.c).  That design
 is pointer-chasing and branch-heavy — the opposite of what XLA wants.
 
-Here the *entire* sort is prefix doubling (the reference's own
-``-maxdepth`` completion algorithm, remainsort.c:39-427, generalized to
-depth 0): O(log n) rounds of a global key sort with
-``jax.lax.sort`` — large, static-shaped, batched work that XLA maps
-onto the TPU's sort networks, and that distributes over a device mesh
-as a sharded sort (see :mod:`vstree_tpu.parallel`).
-
-Sort-order contract (must match the reference exactly, or output parity
-breaks — reference remainsort.c:73-127, bese.c:26-52):
-
-- regular codes compare by value,
-- a special char (code >= WILDCARD) is greater than any regular char,
-- two specials compare by *text position* (earlier = smaller),
-- the sentinel at position ``n`` is a special, hence the largest
-  suffix; ``suftab[n] == n`` always.
-
-These rules are encoded once in the initial integer key
-``key[i] = text[i]`` for regular, ``256 + i`` for special — after that
-plain integer prefix doubling is exact.
-
-LCP is computed for all adjacent rank pairs at once by chunked text
-comparison (vectorized gathers of W-wide windows, W doubling per round)
-instead of the sequential Kasai scan; stragglers with very deep lcps
-are finished host-side on the compacted active set.
+The hot sort/LCP core lives in :mod:`vstree_tpu.index.sort` (seeded
+compacted prefix doubling + the packed-word LCP ladder; see its module
+docstring for the design and the exact sort-order contract mirroring
+remainsort.c:73-127/bese.c:26-52).  This module holds the build
+orchestration (the mkvtreeprocess analog, mkvprocess.c:875-1089): the
+derived tables (bwt, bck, sti1, skp), the ESA assembly, and the
+HBM-bounded out-of-core shard build on top of the mergeesa-analog
+merge.
 """
 
 from __future__ import annotations
@@ -407,6 +391,105 @@ def _skp_inblock(lcp, base, v, n1: int = None):
 # ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
+
+
+def _lcp_pairs_host_chunked(text: np.ndarray, a: np.ndarray,
+                            b: np.ndarray, chunk: int = 1 << 20
+                            ) -> np.ndarray:
+    """Host windowed lcp of suffix pairs with O(chunk) memory — the
+    out-of-core build's lcp pass (no device tables, no [n]-sized
+    intermediates beyond the text itself)."""
+    n = int(text.size)
+    out = np.empty(a.size, np.int64)
+    for lo in range(0, a.size, chunk):
+        aa = a[lo:lo + chunk].astype(np.int64)
+        bb = b[lo:lo + chunk].astype(np.int64)
+        lce = np.zeros(aa.size, np.int64)
+        act = np.arange(aa.size)
+        w = 32
+        off = 0
+        while act.size:
+            offs = np.arange(w)
+            ia = aa[act][:, None] + off + offs[None, :]
+            ib = bb[act][:, None] + off + offs[None, :]
+            va = ia < n
+            vb = ib < n
+            ca = text[np.minimum(ia, n - 1)]
+            cb = text[np.minimum(ib, n - 1)]
+            nomatch = ~(va & vb & (ca == cb) & (ca < WILDCARD))
+            full = ~nomatch.any(axis=1)
+            lce[act] += np.where(full, w, np.argmax(nomatch, axis=1))
+            act = act[full]
+            off += w
+            if w < 2048:
+                w *= 4
+        out[lo:lo + chunk] = lce
+    return out
+
+
+def build_suf_out_of_core(
+    multiseq: Multiseq,
+    alpha: Alphabet,
+    max_shard_bp: int,
+    want_lcp: bool = True,
+):
+    """Suffix (and lcp) table of a multi-sequence database built with
+    DEVICE memory bounded by ``max_shard_bp`` symbols per shard.
+
+    The database is partitioned at sequence boundaries, each shard is
+    sorted on device independently, and the shard orders merge by rank
+    arithmetic (index/merge.py — the reference's mergeesa seam,
+    kurtz-basic/mergeesa.c:124).  The merged order is EXACTLY the
+    monolithic index's (sequences are SEPARATOR-joined either way), so
+    an index far larger than HBM builds on one chip; the lcp pass runs
+    as a host chunked window compare with O(chunk) memory.
+
+    Returns (suftab[n+1], lcptab[n+1] or None).
+    """
+    from .merge import merge_indexes
+
+    nseq = multiseq.numofsequences
+    if nseq <= 1:
+        # single sequence: no boundary to split at
+        if want_lcp:
+            return build_suf_lcp(multiseq.sequence,
+                                 sigma=alpha.num_regular)
+        return (suffix_sort(multiseq.sequence,
+                            sigma=alpha.num_regular)[0], None)
+
+    groups: list[list[int]] = [[]]
+    acc = 0
+    for s in range(nseq):
+        a, b = multiseq.seq_bounds(s)
+        ln = b - a
+        if groups[-1] and acc + ln + 1 > max_shard_bp:
+            groups.append([])
+            acc = 0
+        groups[-1].append(s)
+        acc += ln + 1
+
+    parts = []
+    for g in groups:
+        lo = multiseq.seq_bounds(g[0])[0]
+        hi = multiseq.seq_bounds(g[-1])[1]
+        sub = Multiseq(sequence=multiseq.sequence[lo:hi],
+                       markpos=np.zeros(0, np.int64))
+        sub.totallength = int(hi - lo)
+        parts.append(build_esa(sub, alpha, demand=("suf",)))
+    suf, gtext = merge_indexes(parts)
+    if not np.array_equal(gtext, multiseq.sequence):
+        raise AssertionError(
+            "out-of-core shard join does not reproduce the input "
+            "concatenation")
+    n = int(gtext.size)
+    suftab = suf.astype(np.int64)   # merge includes the sentinel rank
+    assert suftab.size == n + 1 and suftab[-1] == n
+    lcptab = None
+    if want_lcp:
+        lcptab = np.zeros(n + 1, np.int64)
+        lcptab[1:n] = _lcp_pairs_host_chunked(
+            gtext, suftab[:n - 1], suftab[1:n])
+    return suftab, lcptab
 
 
 def build_esa(
