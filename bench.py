@@ -125,11 +125,19 @@ def main():
     suftab_dev = jnp.asarray(esa.suftab)
 
     @functools.partial(jax.jit, static_argnames=("maxh",))
-    def pipeline(flat8, bck, t1, t2, suftab, maxh):
+    def pipeline(flat8, carry, bck, t1, t2, suftab, maxh):
         """One dispatch: key packing + bracket gather + rank-count
         kernel + expansion of rank intervals into (query, position)
         match records grouped by query in rank order (mirrors the
-        reference's emission order, exactcompl.c:156-164)."""
+        reference's emission order, exactcompl.c:156-164).
+
+        ``carry`` chains the previous batch's result into this batch's
+        input (runtime-zero perturbation): iteration i+1 cannot start
+        before iteration i finished, so ONE final scalar download
+        times the whole chain honestly regardless of how the transport
+        implements block_until_ready."""
+        flat8 = flat8 + jnp.where(carry < 0, jnp.int8(1),
+                                  jnp.int8(0))
         lo, hi = _device_rank_lookup(
             flat8, bck, t1, t2, plan.ppl, plan.cpw, plan.sigma,
             plan.rowspan, plan.shift, plan.use_pallas)
@@ -163,6 +171,7 @@ def main():
         return total, qidx, positions
 
     args = (plan.bck, plan.t1, plan.t2, suftab_dev, MAXH)
+    zero = jnp.int32(0)
 
     # stage NB distinct query batches in HBM (untimed; ~0.25 ms/batch
     # of PCIe on a real host)
@@ -176,47 +185,56 @@ def main():
     jax.block_until_ready(batches)
 
     # warm up / compile
-    out_w = pipeline(batches[0], *args)
+    out_w = pipeline(batches[0], zero, *args)
     jax.block_until_ready(out_w)
-
-    # force honest (degraded) tunnel mode: one download BEFORE timing
     total0 = int(np.asarray(out_w[0]))
     assert total0 < MAXH
 
-    # timed: NB batches streamed through the device, real completion
+    # timed: NB distinct batches CHAINED through the device (batch
+    # i+1's input depends on batch i's result) and ONE final scalar
+    # download — the timing cannot be inflated by async transports
     best = float("inf")
     for _ in range(4):
+        carry = zero
         t0 = time.perf_counter()
-        outs = [pipeline(d, *args) for d in batches]
-        jax.block_until_ready(outs)
+        for d in batches:
+            out = pipeline(d, carry, *args)
+            carry = out[0]
+        total_last = int(carry)
         best = min(best, time.perf_counter() - t0)
     qps = NB * B / best
+    outs_last = out
 
-    # synchronous single-batch latency
+    # synchronous single-batch latency (chained single-sync as well)
     bl = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(batches[0], *args))
+        bl_out = pipeline(batches[0], zero, *args)
+        _ = int(bl_out[0])
         bl = min(bl, time.perf_counter() - t0)
 
     # transfer-inclusive rate through the tunnel (per-batch upload in
     # the loop; on real hosts this converges to the staged number)
     flat8, _ = plan.pack(pats, plens)
+    carry = zero
     t0 = time.perf_counter()
-    outs = [pipeline(jax.device_put(flat8), *args) for _ in range(NB)]
-    jax.block_until_ready(outs)
+    for _ in range(NB):
+        out = pipeline(jax.device_put(flat8), carry, *args)
+        carry = out[0]
+    _ = int(carry)
     upload_qps = NB * B / (time.perf_counter() - t0)
 
     # ---- end of timed region: verify results (downloads) ----
-    total, qidx, positions = outs[-1]
+    total, qidx, positions = outs_last
     total = int(total)
     qh = np.asarray(qidx[:total])
     ph = np.asarray(positions[:total])
+    vpats, vplens = all_pats[-1]
     for k in range(0, total, max(1, total // 37)):
         q = qh[k]
-        L = plens[q]
+        L = vplens[q]
         assert (text[ph[k]:ph[k] + L].astype(np.int32)
-                == pats[q, :L]).all(), k
+                == vpats[q, :L]).all(), k
 
     # reference baseline on the identical workload
     import tempfile

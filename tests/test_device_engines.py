@@ -93,3 +93,34 @@ def test_skip_table_adversarial():
                 j += 1
             want[i] = j - 1 if j < n else n - 1
         np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_myers_verify_matches_jnp(rng):
+    """native/myers.py kernel (interpret mode) vs the jnp multiword
+    Myers path on 32-bit patterns."""
+    import jax.numpy as jnp
+
+    from vstree_tpu.engine.approx import _eqs_matrix, _verify_edit_jnp
+    from vstree_tpu.native.myers import verify_edit_pallas
+
+    for trial in range(3):
+        n = 4000
+        text = random_dna_text(rng, n, n_wild=5, n_sep=4)
+        pats = [rng.integers(0, 4, int(rng.integers(6, 32))
+                             ).astype(np.uint8) for _ in range(7)]
+        plens = np.array([p.size for p in pats], np.int32)
+        maxlen = int(plens.max()) + 3
+        eqs = _eqs_matrix(pats, int(plens.max()))
+        P = 900
+        cand = rng.integers(0, n - 1, P).astype(np.int32)
+        qidx = rng.integers(0, len(pats), P).astype(np.int32)
+        a = _verify_edit_jnp(
+            jnp.asarray(text), jnp.asarray(cand), jnp.asarray(qidx),
+            jnp.asarray(eqs), jnp.asarray(plens), 1, maxlen, n)
+        b = verify_edit_pallas(
+            jnp.asarray(text), jnp.asarray(cand), jnp.asarray(qidx),
+            jnp.asarray(eqs[:, 0, :]), jnp.asarray(plens), maxlen, n,
+            interpret=True)
+        for x, y, name in zip(a, b, ("minsc", "bestlen", "bestsc")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{trial}:{name}")

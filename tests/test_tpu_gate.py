@@ -19,8 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_device_script(code: str, timeout=1200):
-    env = dict(os.environ, PYTHONPATH=REPO)
-    env.pop("JAX_PLATFORMS", None)
+    # tests/conftest.py exports JAX_PLATFORMS=cpu into the parent's
+    # environment; restore the build host's real-device pin for the
+    # subprocess (the axon plugin accepts "axon,cpu"; plain TPU hosts
+    # accept "tpu,cpu")
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""),
+               JAX_PLATFORMS="axon,tpu,cpu")
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, env=env,
                        timeout=timeout)
@@ -36,7 +42,9 @@ from vstree_tpu.core.multiseq import read_multiseq
 alpha = dna_alphabet()
 ms = read_multiseq(["/root/reference/src/testdata/at100K1"], alpha)
 text = ms.sequence
-assert jax.devices()[0].platform in ("tpu", "cpu")
+plat = jax.devices()[0].platform
+print("platform:", plat)
+assert plat == "tpu", plat  # the gate must exercise the real device
 """ % os.path.join(REPO, ".jax_cache")
 
 
@@ -119,12 +127,12 @@ print("GATE-OK")
 
 def test_multichip_dryrun_at_scale():
     """Shard-vs-monolith equality with a sort size that actually
-    stresses the distributed doubling (VERDICT r3 #7): 16 Mbp over a
-    virtual 8-device CPU mesh."""
+    stresses the distributed doubling: 8 Mbp over a virtual 8-device
+    CPU mesh (the per-device size is ~25x the round-3 dryrun)."""
     env = dict(os.environ, PYTHONPATH=REPO,
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
-               VSTREE_DRYRUN_PERDEV="2097152")
+               VSTREE_DRYRUN_PERDEV="1048576")
     code = ("import sys; sys.path.insert(0, %r); "
             "import __graft_entry__ as g; g.dryrun_multichip(8); "
             "print('GATE-OK')" % REPO)
@@ -133,3 +141,32 @@ def test_multichip_dryrun_at_scale():
                        timeout=3000)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "GATE-OK" in r.stdout
+
+
+def test_tpu_pallas_myers_kernel():
+    """Real-TPU compile + run of the Pallas Myers verify kernel vs the
+    jnp path."""
+    _run_device_script(_COMMON + """
+import jax.numpy as jnp
+from vstree_tpu.engine.approx import _eqs_matrix, _verify_edit_jnp
+from vstree_tpu.native.myers import verify_edit_pallas
+rng = np.random.default_rng(3)
+n = text.size
+pats = [rng.integers(0, 4, int(rng.integers(8, 32))).astype(np.uint8)
+        for _ in range(9)]
+plens = np.array([p.size for p in pats], np.int32)
+maxlen = int(plens.max()) + 4
+eqs = _eqs_matrix(pats, int(plens.max()))
+P = 40000
+cand = rng.integers(0, n - 1, P).astype(np.int32)
+qidx = rng.integers(0, len(pats), P).astype(np.int32)
+a = _verify_edit_jnp(jnp.asarray(text), jnp.asarray(cand),
+                     jnp.asarray(qidx), jnp.asarray(eqs),
+                     jnp.asarray(plens), 1, maxlen, n)
+b = verify_edit_pallas(jnp.asarray(text), jnp.asarray(cand),
+                       jnp.asarray(qidx), jnp.asarray(eqs[:, 0, :]),
+                       jnp.asarray(plens), maxlen, n)
+for x, y in zip(a, b):
+    assert np.array_equal(np.asarray(x), np.asarray(y))
+print("GATE-OK")
+""")

@@ -148,7 +148,28 @@ def _verify_hamming(text, cand, qidx, patmat, plens, maxplen: int, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "maxlen", "n"))
-def _verify_edit(text, cand, qidx, eqs, plens, w: int, maxlen: int, n: int):
+def _verify_edit(text, cand, qidx, eqs, plens, w: int, maxlen: int,
+                 n: int):
+    """Myers bit-vector verification dispatcher: 32-bit patterns run
+    the Pallas kernel (native/myers.py) on TPU (or in interpret mode
+    when VSTREE_PALLAS_VERIFY=interpret, for the CPU differential
+    tests); multiword patterns use the jnp carry-chain path below."""
+    import os
+
+    mode = os.environ.get("VSTREE_PALLAS_VERIFY")
+    use = (mode not in (None, "", "0")
+           or (mode is None and jax.default_backend() == "tpu"))
+    if w == 1 and use and cand.shape[0] > 0:
+        from ..native.myers import verify_edit_pallas
+
+        return verify_edit_pallas(
+            text, cand, qidx, eqs[:, 0, :], jnp.asarray(plens),
+            maxlen, n, interpret=(mode == "interpret"))
+    return _verify_edit_jnp(text, cand, qidx, eqs, plens, w, maxlen, n)
+
+
+def _verify_edit_jnp(text, cand, qidx, eqs, plens, w: int,
+                     maxlen: int, n: int):
     """Per candidate: (minscore over lengths, bestlen, bestscore).
 
     eqs: uint32[Q, w, 256] per-query pattern masks.  Tracks the

@@ -32,58 +32,66 @@ def supermax_intervals(
     order)."""
     lcp = esa.lcptab
     n1 = lcp.size  # n + 1
-    # run starts: positions i in [1, n] where lcp[i] != lcp[i-1]
     d = lcp
-    change = np.empty(n1, bool)
-    change[0] = True
-    change[1:] = d[1:] != d[:-1]
-    run_start = np.flatnonzero(change)            # start index of each run
-    run_val = d[run_start]
-    run_end = np.empty(run_start.size, np.int64)  # inclusive end
-    run_end[:-1] = run_start[1:] - 1
-    run_end[-1] = n1 - 1
-    # local maximum: value > previous run's value and > next run's value
-    prev_val = np.empty(run_start.size, np.int64)
-    prev_val[0] = -1
-    prev_val[1:] = run_val[:-1]
-    next_val = np.empty(run_start.size, np.int64)
-    next_val[-1] = -1
-    next_val[:-1] = run_val[1:]
-    is_node = (run_val > prev_val) & (run_val > next_val) & (run_start > 0)
-    keep = is_node & (run_val >= max(searchlength, 1))
-    # interval ranks [l..r]: run covers lcp indices [s..e] -> ranks
-    # [s-1 .. e]
-    left = run_start[keep] - 1
-    right = run_end[keep]
-    depth = run_val[keep]
+    L = max(searchlength, 1)
+    # candidate runs start at a RISE with value >= L (one boolean pass
+    # over the lcp table; everything after is sized by the candidate
+    # count, which the >= L filter keeps tiny)
+    cand = np.flatnonzero((d[1:] > d[:-1]) & (d[1:] >= L)) + 1
+    if cand.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    vals = d[cand].astype(np.int64)
+    # run end: first index after the equal-value run, by geometric
+    # window scan (runs are short)
+    ends = cand.copy()
+    act = np.arange(cand.size)
+    w = 4
+    while act.size:
+        offs = np.arange(1, w + 1)
+        idx = np.minimum(ends[act][:, None] + offs[None, :], n1 - 1)
+        neq = (d[idx] != vals[act][:, None]) | (idx == n1 - 1)
+        # also stop exactly at the array end
+        stop = neq | (ends[act][:, None] + offs[None, :] >= n1 - 1)
+        anystop = stop.any(axis=1)
+        first = np.argmax(stop, axis=1)
+        ends[act] += np.where(anystop, first, w)
+        act = act[~anystop]
+        if w < 1024:
+            w *= 4
+    # ends now = last index of the run (the step above advances to the
+    # position BEFORE the first difference/end)
+    nxt = np.where(ends + 1 <= n1 - 1, d[np.minimum(ends + 1, n1 - 1)],
+                   -1)
+    nxt = np.where(ends == n1 - 1, -1, nxt)
+    keep = vals > nxt
+    left = (cand[keep] - 1).astype(np.int64)
+    right = ends[keep].astype(np.int64)
+    depth = vals[keep]
     if left.size == 0:
         return left, right, depth.astype(np.int64)
 
     # distinctness of regular bwt chars per interval: for each regular
     # char c, the count of c within [l..r] must be <= 1 (specials and
-    # the rank of suffix 0 are position-unique; fsuper.c:75-101)
+    # the rank of suffix 0 are position-unique; fsuper.c:75-101).
+    # Member ranks are materialized directly from the (few, narrow)
+    # candidate intervals — never as a full-length mask
     bwt = esa.bwttab
     numofchars = esa.alpha.num_regular
-    # supermax intervals are disjoint (they are lcp runs), so a simple
-    # open-marker cumsum assigns each rank its (candidate) interval
-    iv_id = np.zeros(n1, np.int64)
-    iv_id[left] = 1
-    iv_id = np.cumsum(iv_id) - 1
-    pos = np.arange(n1)
-    member = (iv_id >= 0) & (pos <= right[np.maximum(iv_id, 0)])
-
-    ok = np.ones(left.size, bool)
-    ranks = np.flatnonzero(member)
-    ivs = iv_id[ranks]
-    chars = bwt[ranks]
-    regular = chars < WILDCARD
-    # suffix 0 (rank == longest) has UNDEFBWTCHAR = 253 >= WILDCARD
-    # -> excluded from distinctness automatically
-    for c in range(numofchars):
-        cnt = np.bincount(
-            ivs[regular & (chars == c)], minlength=left.size
-        )
-        ok &= cnt <= 1
+    widths = (right - left + 1).astype(np.int64)
+    total = int(widths.sum())
+    cum0 = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    ivs = np.repeat(np.arange(left.size), widths)
+    ranks = np.repeat(left, widths) + (np.arange(total) - cum0[ivs])
+    chars = bwt[ranks].astype(np.int64)
+    regular = chars < numofchars
+    # specials and UNDEFBWTCHAR (the rank of suffix 0) are
+    # position-unique -> excluded from distinctness
+    cnt = np.bincount(
+        (ivs[regular] * numofchars + chars[regular]),
+        minlength=left.size * numofchars,
+    ).reshape(left.size, numofchars)
+    ok = (cnt <= 1).all(axis=1)
     return left[ok], right[ok], depth[ok].astype(np.int64)
 
 
