@@ -85,3 +85,26 @@ def test_out_of_core_build_matches_monolithic():
     suf, lcp = build_suf_out_of_core(ms, alpha, max_shard_bp=80_000)
     np.testing.assert_array_equal(mono.suftab, suf)
     np.testing.assert_array_equal(mono.lcptab, lcp)
+
+
+def test_encodedsequence_roundtrip(rng=None):
+    import numpy as np
+
+    from vstree_tpu.core.encseq import Encodedsequence
+
+    r = np.random.default_rng(5)
+    for n in (0, 1, 5, 63, 64, 1000):
+        t = r.integers(0, 4, n).astype(np.uint8)
+        if n > 10:
+            t[r.choice(n, max(1, n // 37), replace=False)] = \
+                r.choice([254, 255], max(1, n // 37))
+        enc = Encodedsequence(t)
+        assert np.array_equal(enc.decode(), t)
+        if n >= 10:
+            assert enc.nbytes < t.nbytes  # ~4x packing
+            for (a, b) in ((0, 5), (3, 9), (1, n), (n - 7, n)):
+                assert np.array_equal(enc.decode(a, b), t[a:b]), (a, b)
+    # non-2-bit alphabet falls back to direct storage
+    prot = r.integers(0, 20, 100).astype(np.uint8)
+    enc = Encodedsequence(prot)
+    assert np.array_equal(enc.decode(), prot)

@@ -43,7 +43,7 @@ from jax import lax
 from ..index.esa import ESA
 
 INT32_INF = np.int32(2**31 - 1)
-_PAIR_CHUNK = 1 << 21
+_PAIR_CHUNK = 1 << 22
 
 
 def _nice(x: int) -> int:

@@ -468,11 +468,17 @@ def build_suf_out_of_core(
         groups[-1].append(s)
         acc += ln + 1
 
+    # hold the full text 2-bit packed while the shards build (the
+    # Encodedsequence storage concern, core/encseq.py) — shard byte
+    # views materialize one at a time
+    from ..core.encseq import Encodedsequence
+
+    enc = Encodedsequence(multiseq.sequence)
     parts = []
     for g in groups:
         lo = multiseq.seq_bounds(g[0])[0]
         hi = multiseq.seq_bounds(g[-1])[1]
-        sub = Multiseq(sequence=multiseq.sequence[lo:hi],
+        sub = Multiseq(sequence=enc.decode(lo, hi),
                        markpos=np.zeros(0, np.int64))
         sub.totallength = int(hi - lo)
         parts.append(build_esa(sub, alpha, demand=("suf",)))

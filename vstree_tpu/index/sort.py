@@ -435,14 +435,24 @@ def device_lce_pairs(text_dev, n: int, sigma: int, a_dev, b_dev,
     l = (jnp.zeros(M, jnp.int32) if init_l is None
          else init_l.astype(jnp.int32))
     res = l + 0
+    prev_cnt = None
+    slow_decay = False
     while True:
-        # widen the word window once the live set is small: deep
-        # stragglers advance up to 16*D chars per dispatch without
-        # inflating the cost of the full-width early rounds
-        W = 1 if M > (1 << 22) else (4 if M > (1 << 19) else 16)
+        # widen the word window once the live set is small (deep
+        # stragglers advance up to 16*D chars per dispatch) — or when
+        # the live count decays slowly (self-similar corpora), where
+        # two words per round beat two rounds
+        if M > (1 << 22):
+            W = 2 if slow_decay else 1
+        elif M > (1 << 19):
+            W = 4
+        else:
+            W = 16
         l, active, cnt_dev = _lce_round(
             P, Pb, a, b, l, idx, M, n, nb, bits, D, W)
         cnt = int(cnt_dev)
+        slow_decay = prev_cnt is not None and cnt * 5 > prev_cnt * 4
+        prev_cnt = cnt
         if cnt == 0:
             return _lce_harvest(l, idx, res)
         M2 = _nice_size(cnt)
