@@ -395,7 +395,7 @@ def extra_metrics(esa, text, ms):
         def repeats_metric():
             from vstree_tpu.engine.repeats import find_maximal_pairs_ref
 
-            find_maximal_pairs_ref(esa, 12)  # warm
+            find_maximal_pairs_ref(esa, 8)   # warm (same shapes)
             best = float("inf")
             npairs = 0
             for _ in range(2):
@@ -474,7 +474,7 @@ def extra_metrics(esa, text, ms):
         def supermax_metric():
             from vstree_tpu.engine.supermax import find_supermax
 
-            find_supermax(esa, 25)  # warm
+            find_supermax(esa, 20)  # warm (same shapes)
             best = float("inf")
             nm = 0
             for _ in range(3):

@@ -127,3 +127,38 @@ def test_mkrcidx_cpl(setup, tmp_path):
         a = (tmp_path / f"ref.rcm.{tab}").read_bytes()
         b = (tmp_path / f"ours.rcm.{tab}").read_bytes()
         assert a == b, tab
+
+
+def test_vplugin_vmotif_demo(setup):
+    """The vplugin protocol analog: the demo motif plugin takes over
+    -complete and emits through the standard funnel."""
+    r = run_ours(
+        ["-complete", "/root/repo/vstree_tpu/plugins/vmotif-demo.py",
+         "-selfun", "/dev/null", str(setup / "ours")], str(setup))
+    # -selfun /dev/null would fail to load; use plugin args instead
+    r = run_ours(
+        ["-complete", "/root/repo/vstree_tpu/plugins/vmotif-demo.py",
+         str(setup / "ours")], str(setup))
+    assert r.returncode == 0, r.stderr
+    rows = [l for l in r.stdout.splitlines() if not l.startswith("#")]
+    assert len(rows) > 0
+    # every row is a well-formed 6-length exact match row
+    for l in rows[:5]:
+        parts = l.split()
+        assert parts[0] == "6" and parts[3] == "D", l
+
+
+def test_vplugin_missing_hook_rejected(setup, tmp_path):
+    p = tmp_path / "vmotif-broken.py"
+    p.write_text("def vplugininit(data):\n    pass\n")
+    r = run_ours(["-complete", str(p), str(setup / "ours")],
+                 str(setup))
+    assert r.returncode != 0
+    assert "mandatory hook" in r.stderr
+
+
+def test_complete_bad_argument_rejected(setup):
+    r = run_ours(["-complete", "bogusword", "-q", "q.fna",
+                  str(setup / "ours")], str(setup))
+    assert r.returncode != 0
+    assert "remred" in r.stderr

@@ -64,6 +64,7 @@ from ..stats.evalues import Evalues
 def parse_args(argv: list[str]) -> dict:
     opts: dict = {
         "index": None, "q": [], "complete": False, "online": False,
+        "removeredundant": False, "vplugin": None,
         "l": None, "h": None, "e": None, "p": False, "d": False,
         "absolute": False, "nodist": False, "noevalue": False,
         "noscore": False, "noidentity": False, "best": None,
@@ -105,7 +106,27 @@ def parse_args(argv: list[str]) -> dict:
             while i < len(argv) and not argv[i].startswith("-") and i < len(argv) - 1:
                 opts["q"].append(argv[i]); i += 1
             continue
-        if key in ("complete", "online", "p", "d", "absolute", "nodist",
+        if key == "complete":
+            # optional argument (parsevm.c:1140-1178): the keyword
+            # "removeredundant" or a vmotif*/cpridx* plugin
+            opts["complete"] = True
+            i += 1
+            if i < len(argv) - 1 and not argv[i].startswith("-"):
+                arg = argv[i]
+                from ..engine.vplugin import is_vplugin_arg
+
+                if arg == "remred":
+                    opts["removeredundant"] = True; i += 1
+                elif is_vplugin_arg(arg):
+                    opts["vplugin"] = arg; i += 1
+                elif "." not in arg and arg != opts.get("index"):
+                    raise SystemExit(
+                        'vmatch: argument to option -complete must be '
+                        'either the keyword "remred" or names of '
+                        'shared object files with prefix "vmotif" or '
+                        '"cpridxps"')
+            continue
+        if key in ("online", "p", "d", "absolute", "nodist",
                    "noevalue", "noscore", "noidentity", "supermax",
                    "tandem", "i", "v", "allmax"):
             opts[key] = True; i += 1; continue
@@ -818,6 +839,35 @@ def run(argv: list[str], out=None) -> int:
             (mt.position1 < qsep) & (mt.position2 > qsep)
         )
 
+    if opts["complete"] and opts["vplugin"] is not None:
+        # vplugin takeover (vplugin-interface.h:37-52 analog): the
+        # plugin owns the whole search — with or without -q — and its
+        # emitted tables run through the standard funnel/output
+        from ..engine.vplugin import VpluginData, run_vplugin
+
+        vquery = (read_multiseq(opts["q"], esa.alpha,
+                                store_original=True)
+                  if opts["q"] else None)
+
+        def vp_process(mt):
+            raw = mt
+            out_mt = process_final(mt, ms, ev, mp, query=vquery,
+                                   selection=hooks)
+            finish(out_mt, query=vquery, raw=raw)
+
+        data = VpluginData(
+            progname="vmatch",
+            indexname=opts["index"],
+            esa=esa,
+            queryfiles=list(opts["q"]),
+            query=vquery,
+            forceonline=bool(opts["online"]),
+            plugin_args=list(opts.get("selfun_args") or []),
+            process=vp_process,
+        )
+        run_vplugin(opts["vplugin"], data)
+        return 0
+
     if not opts["q"]:
         # self-match tasks
         if opts["supermax"]:
@@ -1049,12 +1099,51 @@ def run(argv: list[str], out=None) -> int:
                 mesh=mesh,
             )
 
+        def rm_redundant(mt):
+            # -complete remred (edistcompl.c:20-66 CHECKMATCHPOSITION):
+            # the right-to-left scan keeps a single CANDIDATE; a match
+            # one position left of the candidate replaces it only on a
+            # strictly better distance (else it is consumed); any
+            # non-adjacent match emits the candidate and starts anew
+            if len(mt) == 0:
+                return mt
+            order = np.lexsort((-mt.position1, mt.seqnum2, mt.flag))
+            keep = np.zeros(len(mt), bool)
+            cand = None
+            cand_pos = cand_d = 0
+            prev_key = None
+            for oi in order:
+                keyg = (int(mt.flag[oi]), int(mt.seqnum2[oi]))
+                p = int(mt.position1[oi])
+                d = abs(int(mt.distance[oi]))
+                if cand is not None and keyg == prev_key \
+                        and p + 1 == cand_pos:
+                    if d < cand_d:
+                        cand, cand_pos, cand_d = oi, p, d
+                    # else: consumed by the candidate
+                else:
+                    if cand is not None:
+                        keep[cand] = True
+                    cand, cand_pos, cand_d = oi, p, d
+                prev_key = keyg
+            if cand is not None:
+                keep[cand] = True
+            return mt.select(keep)
+
         tables: list[MatchTable] = []
         if direct_on:
-            tables.append(run_pats(query, 0))
+            mt0 = run_pats(query, 0)
+            if opts["removeredundant"] and opts["online"] \
+                    and k_e is not None:
+                mt0 = rm_redundant(mt0)
+            tables.append(mt0)
         if opts["p"]:
             qrc = reverse_complement_inplace(query)
-            tables.append(run_pats(qrc, FLAGPALINDROMIC))
+            mt1 = run_pats(qrc, FLAGPALINDROMIC)
+            if opts["removeredundant"] and opts["online"] \
+                    and k_e is not None:
+                mt1 = rm_redundant(mt1)
+            tables.append(mt1)
         allmt = _dnavsprot_convert(MatchTable.concat(tables))
         raw = allmt
         outq = dnaquery if dnaquery is not None else query
