@@ -103,7 +103,7 @@ def test_qspeedup_rejections(setup):
     r = run_ours(["-l", "20", "-qspeedup", "4", "-q", "q.fna",
                   str(setup / "ours")], str(setup))
     assert r.returncode != 0
-    assert ".lsf" in r.stderr
+    assert "mklsf" in r.stderr
 
 
 def test_gated_options_rejected(setup):

@@ -21,6 +21,7 @@ from ..core.alphabet import (
     read_symbolmap,
 )
 from ..core.multiseq import (
+    complement_inplace,
     read_multiseq,
     reverse_complement_inplace,
     reverse_inplace,
@@ -127,10 +128,19 @@ def run(argv: list[str]) -> int:
         files, alpha, num_query_files=len(opts["q"]),
         store_original=store_original,
     )
-    if opts["rev"]:
-        ms = reverse_inplace(ms)
-    if opts["cpl"]:
+    # transformation + output-name policy (mkvtree.c:143-161
+    # addindexsuffix + mkvinput.c): -rev reverses, -cpl complements,
+    # both together reverse-complement; the index name gains the
+    # .rev/.cpl/.rcp suffix
+    if opts["rev"] and opts["cpl"]:
         ms = reverse_complement_inplace(ms)
+        opts["indexname"] += ".rcp"
+    elif opts["rev"]:
+        ms = reverse_inplace(ms)
+        opts["indexname"] += ".rev"
+    elif opts["cpl"]:
+        ms = complement_inplace(ms)
+        opts["indexname"] += ".cpl"
 
     numofchars = alpha.num_regular
     pl = opts["pl"]

@@ -489,11 +489,16 @@ def run(argv: list[str], out=None) -> int:
             "reference implementation); please use Algorithm 0, 2 "
             "or 5")
     if qsp == 4:
-        # Algorithm 4 demands the experimental lsf table
-        # (mapdemand.c:8-39), which no shipped builder emits
+        # Algorithm 4 demands the lsf table — which the reference's
+        # own reader rejects even when built by its own mklsf
+        # (2(n+1) bytes written vs 2n+1 expected, readvirt.c:895), so
+        # the algorithm is unusable in the shipped reference; our
+        # cli/mklsf reproduces the table bytes regardless
         raise SystemExit(
-            f'vmatch: cannot read file "{opts["index"]}.lsf": '
-            "open failed: No such file or directory")
+            "vmatch: Algorithm 4 is not supported: the reference's "
+            "own reader rejects its mklsf output (size mismatch, "
+            "readvirt.c:895), making it unusable there; please use "
+            "Algorithm 0, 2 or 5")
     esa = read_index(opts["index"])
     # -numproc N (parsevm.c:877, vdfstrav.c:419-499 DISTRIBUTEDDFS):
     # distribute the rank range over N devices of a jax mesh
@@ -1256,13 +1261,50 @@ def main() -> None:
             "vmatch: incorrect value of environment variable "
             "QUERYSPEEDUP; must be non-negative integer")
     showtimespace = check_env_on_off("VMATCHSHOWTIMESPACE")
+    import os as _os
+
+    # observability / sanitizer hooks (SURVEY §5 rows 1-2):
+    # VSTREE_PROFILE=<dir> records a jax.profiler trace of the whole
+    # run (per-kernel device timings, viewable in xprof/tensorboard);
+    # VSTREE_DEBUG_NANS=1 arms jax's debug_nans checks
+    profile_dir = _os.environ.get("VSTREE_PROFILE")
+    if check_env_on_off("VSTREE_DEBUG_NANS"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    def run_once(argv, out=None):
+        if profile_dir:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+            try:
+                return run(argv, out=out) if out is not None \
+                    else run(argv)
+            finally:
+                jax.profiler.stop_trace()
+        return run(argv, out=out) if out is not None else run(argv)
+
+    def run_retrying(argv, out=None):
+        # transient-device-fault resilience (SURVEY §5 row 3): one
+        # retry when the accelerator reports UNAVAILABLE (the round-3
+        # scored bench lost two metrics to exactly this fault class)
+        try:
+            return run_once(argv, out=out)
+        except Exception as e:
+            if "UNAVAILABLE" in repr(e) and type(e).__module__.startswith("jax"):
+                print("vmatch: transient device fault, retrying once",
+                      file=sys.stderr)
+                return run_once(argv, out=out)
+            raise
+
     try:
         if showtimespace:
             # timing mode (vmatch.mn.c:44-52,91-96): matches are
             # swallowed, # TIME / # SPACE lines printed at exit
             t0 = time.process_time()
             sink = io.StringIO()
-            rc = run(sys.argv[1:], out=sink)
+            rc = run_retrying(sys.argv[1:], out=sink)
             import resource
 
             peak = resource.getrusage(
@@ -1270,7 +1312,7 @@ def main() -> None:
             print(f"# TIME vmatch {time.process_time() - t0:.2f}")
             print(f"# SPACE vmatch {peak:.2f}")
             sys.exit(rc)
-        sys.exit(run(sys.argv[1:]))
+        sys.exit(run_retrying(sys.argv[1:]))
     except BrokenPipeError:  # e.g. piped into head
         sys.exit(0)
 

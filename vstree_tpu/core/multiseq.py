@@ -359,6 +359,21 @@ def reverse_complement_inplace(ms: Multiseq) -> Multiseq:
     return res
 
 
+def complement_inplace(ms: Multiseq) -> Multiseq:
+    """Per-sequence complement WITHOUT reversal (mkvtree -cpl alone;
+    the reference complements in place, mkvinput.c OPTCPL)."""
+    comp = np.arange(256, dtype=np.uint8)
+    comp[0:4] = [3, 2, 1, 0]
+    orig_map = np.arange(256, dtype=np.uint8)
+    for a, b in zip(b"AaCcGgTt", b"TtGgCcAa"):
+        orig_map[a] = b
+    res = Multiseq(**{**ms.__dict__})
+    res.sequence = comp[ms.sequence]
+    if ms.originalsequence is not None:
+        res.originalsequence = orig_map[ms.originalsequence]
+    return res
+
+
 def reverse_inplace(ms: Multiseq) -> Multiseq:
     """Per-sequence plain reversal (mkvtree -rev)."""
     out = ms.sequence.copy()

@@ -119,6 +119,24 @@ def matching_statistics(esa: ESA, qtext: np.ndarray):
     if nq == 0 or n_db == 0:
         z = np.zeros(nq, np.int64)
         return z, z
+    if nq == n_db and esa.stitab is not None \
+            and (qtext is esa.text
+                 or np.array_equal(qtext, esa.text)):
+        # identical-text fast path (db vs itself): every query suffix
+        # occurs at its own db position, so MS(p) is exactly the
+        # distance to the next special/end and the witness is the
+        # position's own rank — no merged sort needed.  The witness
+        # only has to REALIZE ms (the canonical interval is
+        # member-invariant), which its own rank does.
+        spec = np.flatnonzero(qtext >= 254).astype(np.int64)
+        nxt = np.full(nq, n_db, np.int64)
+        if spec.size:
+            idx = np.searchsorted(spec, np.arange(nq))
+            nxt = np.where(idx < spec.size,
+                           spec[np.minimum(idx, spec.size - 1)], n_db)
+        ms = nxt - np.arange(nq)
+        wit = esa.stitab[:n_db].astype(np.int64)
+        return ms, wit
     sigma = esa.alpha.num_regular
     mtext = np.empty(n_db + 1 + nq, np.uint8)
     mtext[:n_db] = esa.text
