@@ -72,6 +72,58 @@ def test_matching_statistics_vs_brute(rng):
                 assert got >= best, (trial, p)
 
 
+def test_findmaxpref_device_vs_host(rng):
+    """engine/querydev.py fused binary-search replay vs the host
+    oracle (engine/query.py _findmaxpref_batch, itself parity-tested
+    against the reference binary)."""
+    from vstree_tpu.engine.query import _findmaxpref_batch
+    from vstree_tpu.engine.querydev import findmaxpref_device
+    from vstree_tpu.index.build import bucket_codes
+
+    for trial in range(4):
+        n = int(rng.integers(400, 1200))
+        text = random_dna_text(rng, n, n_wild=4, n_sep=2)
+        esa = build_esa(_ms_of(text), dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        pl = esa.prefixlength
+        # query = mutated copy => realistic long shared prefixes
+        qtext = text.copy()
+        mut = rng.integers(0, n, size=max(4, n // 30))
+        qtext[mut] = rng.integers(0, 4, mut.size).astype(np.uint8)
+        nq = int(qtext.size)
+        qcodes, qvalid = bucket_codes(qtext, 4, pl)
+        qpos = np.flatnonzero(qvalid == pl).astype(np.int64)
+        codes = qcodes[qpos]
+        bck = esa.bcktab
+        bl = bck[2 * codes].astype(np.int64)
+        br = bck[2 * codes + 1].astype(np.int64)
+        keep = br > bl
+        qpos = qpos[keep]
+        bl, br = bl[keep], br[keep]
+        qlen = np.int64(nq) - qpos
+        off0 = np.full(qpos.size, pl, np.int64)
+        h0, h1 = _findmaxpref_batch(
+            text, n, esa.suftab.astype(np.int64), bl, br - 1, off0,
+            qtext, qpos, qlen)
+        d0, d1 = findmaxpref_device(
+            esa, qtext, bl, br - 1, off0, qpos, qlen)
+        np.testing.assert_array_equal(h0, d0, err_msg=str(trial))
+        np.testing.assert_array_equal(h1, d1, err_msg=str(trial))
+        # full-range lanes (qspeedup-5 shape: whole SA, offset 0)
+        sub = qpos[:: max(1, qpos.size // 50)]
+        m = sub.size
+        rl = np.zeros(m, np.int64)
+        rr = np.full(m, int(esa.suftab.size) - 2, np.int64)
+        z = np.zeros(m, np.int64)
+        h0, h1 = _findmaxpref_batch(
+            text, n, esa.suftab.astype(np.int64), rl, rr, z, qtext,
+            sub, np.int64(nq) - sub)
+        d0, d1 = findmaxpref_device(
+            esa, qtext, rl, rr, z, sub, np.int64(nq) - sub)
+        np.testing.assert_array_equal(h0, d0, err_msg=str(trial))
+        np.testing.assert_array_equal(h1, d1, err_msg=str(trial))
+
+
 def test_skip_table_adversarial():
     cases = [
         np.concatenate([[0], np.full(5000, 7, np.int32), [0]]),

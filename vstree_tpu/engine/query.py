@@ -261,20 +261,73 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
     br = bck[2 * codes + 1].astype(np.int64)
     nonempty = valid & (br > bl)
 
-    # canonical maxlen + a witness member: matching statistics of the
-    # whole query text via the merged suffix ordering (engine/mstats
-    # — replaces the per-suffix insertion search + char-level LCEs,
-    # whose total work is Theta(sum of match lengths) and explodes on
-    # self-similar db/query pairs)
+    # canonical maxlen + a witness member.  Identical-text db-vs-self
+    # queries short-circuit in matching_statistics; otherwise the
+    # bucket-accelerated device binary search (engine/querydev.py —
+    # the reference's own findmaxprefixlen, fused over all positions)
+    # reuses the PREBUILT index, total work Theta(sum ms / chars-per-
+    # word).  Self-similar db/query pairs where that sum explodes
+    # (detected by a sampled probe) fall back to the merged-ordering
+    # matching statistics (engine/mstats.py, Theta((n+q) log)).
+    from .querydev import findmaxpref_device, query_tables
+
     k_idx = np.flatnonzero(nonempty)
     maxlen = np.zeros(m, np.int64)
     member = np.zeros(m, np.int64)
+    member_is_search_witness = False
+    qtabs = None
     if k_idx.size:
-        from .mstats import matching_statistics
+        if qtext is esa.text or (qtext.size == esa.totallength
+                                 and np.array_equal(qtext, esa.text)):
+            from .mstats import matching_statistics
+            from .querydev import _db_tables
 
-        ms_all, wit_all = matching_statistics(esa, qtext)
-        maxlen[k_idx] = np.minimum(ms_all[qpos[k_idx]], rem[k_idx])
-        member[k_idx] = wit_all[qpos[k_idx]]
+            ms_all, wit_all = matching_statistics(esa, qtext)
+            maxlen[k_idx] = np.minimum(ms_all[qpos[k_idx]],
+                                       rem[k_idx])
+            member[k_idx] = wit_all[qpos[k_idx]]
+            # the query text IS the db text: replays reuse the db's
+            # packed-word tables instead of building query-side ones
+            text_dev, P, _suf, _b, _D, n_db = _db_tables(esa)
+            qtabs = (text_dev, P, n_db)
+        else:
+            qtabs = query_tables(esa, qtext)
+            use_merged = False
+            SAMPLE = 2048
+            if k_idx.size > 8 * SAMPLE:
+                stride = k_idx.size // SAMPLE
+                sel = k_idx[::stride]
+                s0, _ = findmaxpref_device(
+                    esa, qtext, bl[sel], br[sel] - 1,
+                    np.full(sel.size, pl, np.int64), qpos[sel],
+                    rem[sel], qtabs=qtabs)
+                # cost model in gather units: insertion search pays
+                # ~8 gathers per word step per lane; the merged sort
+                # pays ~60 per merged-text element (lax.sort rounds)
+                from ..index.sort import lce_pack_params
+
+                _, D = lce_pack_params(esa.alpha.num_regular)
+                ins = 8.0 * k_idx.size * (float(s0.mean()) / D + 20)
+                merged = 60.0 * (esa.totallength + qtext.size)
+                use_merged = ins > merged
+            if use_merged:
+                from .mstats import matching_statistics
+
+                ms_all, wit_all = matching_statistics(esa, qtext)
+                maxlen[k_idx] = np.minimum(ms_all[qpos[k_idx]],
+                                           rem[k_idx])
+                member[k_idx] = wit_all[qpos[k_idx]]
+            else:
+                d0, d1 = findmaxpref_device(
+                    esa, qtext, bl[k_idx], br[k_idx] - 1,
+                    np.full(k_idx.size, pl, np.int64), qpos[k_idx],
+                    rem[k_idx], qtabs=qtabs)
+                maxlen[k_idx] = d0
+                member[k_idx] = d1
+                # d1 IS the reference's search witness for a fresh
+                # (bucket, offset=pl) replay — the exact call the
+                # speedup-0/fresh paths below would repeat
+                member_is_search_witness = True
     offset = np.where(nonempty, maxlen, 0)
 
     ileft = np.zeros(m, np.int64)
@@ -293,20 +346,26 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
         # suffix array (its table demand is empty, mapdemand.c:8-39)
         fi = np.flatnonzero(proceed)
         if fi.size:
-            if qspeedup == 5:
-                # matchsub.c:992-1005: vnode = [0, totallength-1]
-                # (sentinel rank excluded), offset 0
-                rl = np.zeros(fi.size, np.int64)
-                rr = np.full(fi.size, int(suftab.size) - 2, np.int64)
-                off0 = np.zeros(fi.size, np.int64)
+            if qspeedup == 0 and member_is_search_witness:
+                # the canonical member came from the identical
+                # (bucket, offset=pl) device search — no replay needed
+                witness[fi] = member[fi]
             else:
-                rl = bl[fi]
-                rr = br[fi] - 1
-                off0 = np.full(fi.size, pl, np.int64)
-            w0, w1 = _findmaxpref_batch(
-                text, n, suftab, rl, rr, off0, qtext, qpos[fi],
-                rem[fi])
-            witness[fi] = w1
+                if qspeedup == 5:
+                    # matchsub.c:992-1005: vnode = [0, totallength-1]
+                    # (sentinel rank excluded), offset 0
+                    rl = np.zeros(fi.size, np.int64)
+                    rr = np.full(fi.size, int(suftab.size) - 2,
+                                 np.int64)
+                    off0 = np.zeros(fi.size, np.int64)
+                else:
+                    rl = bl[fi]
+                    rr = br[fi] - 1
+                    off0 = np.full(fi.size, pl, np.int64)
+                w0, w1 = findmaxpref_device(
+                    esa, qtext, rl, rr, off0, qpos[fi], rem[fi],
+                    qtabs=qtabs)
+                witness[fi] = w1
     else:
         # sti1 byte table (saturating rank-within-bucket) + inverse
         s1 = getattr(esa, "_sti1_cache", None)
@@ -360,11 +419,17 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
         # witnesses: replay for fresh and non-isomorphic shortcuts —
         # ALL of them, not just emitting ones: any non-isomorphic
         # position with a bucket can anchor a later isomorphic chain
-        fi = np.flatnonzero(fresh)
-        rep_idx = [fi]
-        rep_l = [bl[fi]]
-        rep_r = [br[fi] - 1]
-        rep_o = [np.full(fi.size, pl, np.int64)]
+        if member_is_search_witness:
+            # fresh replays are the identical (bucket, offset=pl)
+            # search the member already came from
+            witness[fresh] = member[fresh]
+            rep_idx, rep_l, rep_r, rep_o = [], [], [], []
+        else:
+            fi = np.flatnonzero(fresh)
+            rep_idx = [fi]
+            rep_l = [bl[fi]]
+            rep_r = [br[fi] - 1]
+            rep_o = [np.full(fi.size, pl, np.int64)]
         ni = np.flatnonzero(noniso)
         rep_idx.append(ni)
         rep_l.append(rankl[ni])
@@ -372,10 +437,10 @@ def _ref_witness_state(esa: ESA, query: Multiseq, searchlength: int,
         rep_o.append(prev_off[ni] - 1)
         ridx = np.concatenate(rep_idx)
         if ridx.size:
-            w0, w1 = _findmaxpref_batch(
-                text, n, suftab, np.concatenate(rep_l),
+            w0, w1 = findmaxpref_device(
+                esa, qtext, np.concatenate(rep_l),
                 np.concatenate(rep_r), np.concatenate(rep_o),
-                qtext, qpos[ridx], rem[ridx])
+                qpos[ridx], rem[ridx], qtabs=qtabs)
             witness[ridx] = w1
         # isomorphic chains: witness = inv[suftab[w_anchor] + k]
         ii = np.flatnonzero(iso)
@@ -476,6 +541,16 @@ def find_query_matches(
 
     # --- MEM emission: scan range = lcp>=L run containing witness ---
     L = searchlength
+    import os as _os
+
+    if not _os.environ.get("VSTREE_HOST_QUERY"):
+        from .querydev import mem_expand_device
+
+        pos_d, len_d, g_d = mem_expand_device(
+            esa, qtext, witness, maxlcp, qpos_h, qoff_h, L)
+        return _emit_prefiltered(
+            esa, pos_d, len_d, qseq_h[g_d], qoff_h[g_d], qpos_h[g_d],
+            flags_extra)
     run_left, run_right = _l_runs(lcp, L)
     if run_left.size:
         ri = np.searchsorted(run_left, witness, side="right") - 1
@@ -514,6 +589,32 @@ def find_query_matches(
 
     return _emit(esa, query, ranks, d_rmq, qpos_h[g], qseq_h[g],
                  qoff_h[g], flags_extra)
+
+
+def _emit_prefiltered(esa, sufstart, mlens, qs, qo, qp, flags_extra):
+    """MatchTable build from already-left-maximality-filtered device
+    records (the device twin of :func:`_emit`'s tail)."""
+    tot = sufstart.size
+    if tot == 0:
+        return MatchTable()
+    sufstart = sufstart.astype(np.int64)
+    mlens = mlens.astype(np.int64)
+    seq1, rel1 = esa.multiseq.pos_to_pair(sufstart)
+    return MatchTable(
+        length1=mlens,
+        position1=sufstart,
+        length2=mlens.copy(),
+        position2=qp.astype(np.int64),
+        distance=np.zeros(tot, np.int64),
+        flag=np.full(tot, FLAGQUERY | flags_extra, np.int64),
+        seqnum1=seq1,
+        relpos1=rel1,
+        seqnum2=qs.astype(np.int64),
+        relpos2=qo.astype(np.int64),
+        evalue=np.zeros(tot, np.float64),
+        idnumber=np.zeros(tot, np.int64),
+        transnum=np.full(tot, -1, np.int64),
+    )
 
 
 def _emit(esa, query, ranks, mlens, qp, qs, qo, flags_extra):
