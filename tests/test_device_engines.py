@@ -124,6 +124,40 @@ def test_findmaxpref_device_vs_host(rng):
         np.testing.assert_array_equal(h1, d1, err_msg=str(trial))
 
 
+def test_query_self_async_pipeline_vs_host(rng):
+    """find_query_mems_self_device (the chained-async db-vs-itself
+    pipeline) vs the host state machine on identical workloads."""
+    import os
+
+    from vstree_tpu.engine.query import find_query_matches
+
+    for trial in range(3):
+        n = int(rng.integers(2000, 6000))
+        text = random_dna_text(rng, n, n_wild=6, n_sep=3)
+        ms = _ms_of(text)
+        # rebuild a real Multiseq with markpos for pos_to_pair
+        from vstree_tpu.core.chardef import SEPARATOR
+
+        ms.markpos = np.flatnonzero(text == SEPARATOR).astype(np.int64)
+        ms.numofsequences = ms.markpos.size + 1
+        ms.descriptions = [b"s%d" % i for i in range(ms.numofsequences)]
+        esa = build_esa(ms, dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        L = int(rng.integers(max(esa.prefixlength, 5), 12))
+        dev = find_query_matches(esa, ms, L, "mem")
+        os.environ["VSTREE_HOST_QUERY"] = "1"
+        try:
+            host = find_query_matches(esa, ms, L, "mem")
+        finally:
+            del os.environ["VSTREE_HOST_QUERY"]
+        assert len(dev.position1) == len(host.position1), trial
+        for f in ("position1", "length1", "position2", "seqnum1",
+                  "relpos1", "seqnum2", "relpos2"):
+            np.testing.assert_array_equal(
+                getattr(dev, f), getattr(host, f),
+                err_msg=f"{trial}:{f}")
+
+
 def test_skip_table_adversarial():
     cases = [
         np.concatenate([[0], np.full(5000, 7, np.int32), [0]]),

@@ -502,6 +502,25 @@ def find_query_matches(
             f"{esa.prefixlength}"
         )
 
+    import os as _os
+
+    if (mode == "mem" and qspeedup == 2
+            and not _os.environ.get("VSTREE_HOST_QUERY")
+            and esa.bcktab is not None and esa.stitab is not None
+            and esa.lcptab is not None and nq == n
+            and (qtext is esa.text
+                 or np.array_equal(qtext, esa.text))):
+        # db-vs-itself MEM scan: the fully-async chained device
+        # pipeline (engine/querydev.py) — two host syncs total
+        from .querydev import find_query_mems_self_device
+
+        recs = find_query_mems_self_device(esa, query, searchlength)
+        if recs is not None:
+            pos_d, len_d, qp_d = recs
+            qs_d, qo_d = query.pos_to_pair(qp_d)
+            return _emit_prefiltered(esa, pos_d, len_d, qs_d, qo_d,
+                                     qp_d, flags_extra)
+
     qpos, qseq, qoff, rem = _query_positions(query, searchlength)
     if qpos.size == 0:
         return MatchTable()

@@ -59,36 +59,41 @@ def query_tables(esa, qtext: np.ndarray):
     return qdev, Pq, nq
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("T", "M", "n", "nq", "bits", "D"))
-def _fmp_round(text, P, suftab, qtext, Pq, state,
-               T: int, M: int, n: int, nq: int, bits: int, D: int):
-    """T fused trips of (one-word compare advance + binary-search
-    bookkeeping) over M lanes."""
+def _fmp_trip(text, P, suftab, qtext, Pq, st,
+              n: int, nq: int, bits: int, D: int, W: int = 1):
+    """One fused trip: advance every live comparison by up to W
+    packed words + binary-search bookkeeping for lanes whose
+    comparison just resolved."""
     kmask = jnp.int32((1 << (D * bits)) - 1)
     sh = D * bits
-
-    def trip(_, st):
+    if True:
         (phase, lo, hi, lpref, rpref, cur, wit0, wit1, tgt, cstart,
          l, off0, qpos, qlen, idx) = st
         active = phase < _DONE
-        # ---- one packed-word comparison step (maxpref.c COMPARE) ----
-        ia = cstart + l
-        ib = qpos + l
-        pa = P[jnp.minimum(ia, n - 1)]
-        pb = Pq[jnp.minimum(ib, nq - 1)]
-        offa = jnp.where(ia < n, lax.shift_right_logical(pa, sh), 0)
-        offb = jnp.where(ib < nq, lax.shift_right_logical(pb, sh), 0)
-        x = (pa ^ pb) & kmask
-        msb = lax.population_count(_smear(x)) - 1
-        fd = jnp.where(x == 0, jnp.int32(D), D - 1 - msb // bits)
-        rem = jnp.minimum(fd, jnp.minimum(offa, offb))
-        # the query side never matches past qlen (caller guarantees a
-        # special/end sits at qpos+qlen); cap defensively anyway
-        rem = jnp.minimum(rem, jnp.maximum(qlen - l, 0))
-        l = l + jnp.where(active, rem, 0)
-        stopped = active & (rem < D)
+        # ---- packed-word comparison steps (maxpref.c COMPARE) ----
+        adv = jnp.zeros_like(l)
+        cdone = jnp.zeros(l.shape, bool)
+        for _w in range(W):
+            ia = cstart + l + adv
+            ib = qpos + l + adv
+            pa = P[jnp.minimum(ia, n - 1)]
+            pb = Pq[jnp.minimum(ib, nq - 1)]
+            offa = jnp.where(ia < n,
+                             lax.shift_right_logical(pa, sh), 0)
+            offb = jnp.where(ib < nq,
+                             lax.shift_right_logical(pb, sh), 0)
+            x = (pa ^ pb) & kmask
+            msb = lax.population_count(_smear(x)) - 1
+            fd = jnp.where(x == 0, jnp.int32(D), D - 1 - msb // bits)
+            rem = jnp.minimum(fd, jnp.minimum(offa, offb))
+            # the query side never matches past qlen (caller
+            # guarantees a special/end at qpos+qlen); cap defensively
+            rem = jnp.minimum(rem,
+                              jnp.maximum(qlen - (l + adv), 0))
+            adv = adv + jnp.where(cdone, 0, rem)
+            cdone = cdone | (rem < D)
+        l = l + jnp.where(active, adv, 0)
+        stopped = active & cdone
         # classification of the stopped comparison (host _compare_batch
         # where-chain: q_over > s_over > neq > both-special)
         ib2 = qpos + l
@@ -151,7 +156,18 @@ def _fmp_round(text, P, suftab, qtext, Pq, state,
         return (phase, lo, hi, lpref, rpref, cur, wit0, wit1, tgt,
                 cstart, l, off0, qpos, qlen, idx)
 
-    state = lax.fori_loop(0, T, trip, state)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "M", "n", "nq", "bits", "D"))
+def _fmp_round(text, P, suftab, qtext, Pq, state,
+               T: int, M: int, n: int, nq: int, bits: int, D: int):
+    """T fused trips over M lanes (fori: host drives compaction)."""
+    state = lax.fori_loop(
+        0, T,
+        lambda _, st: _fmp_trip(text, P, suftab, qtext, Pq, st,
+                                n, nq, bits, D),
+        state)
     n_active = jnp.sum((state[0] < _DONE).astype(jnp.int32))
     return state, n_active
 
@@ -176,6 +192,509 @@ def _fmp_compact(state, res0, res1, M: int, M2: int):
         out.append(jnp.full(M2, fill, arr.dtype).at[dst].set(
             arr, mode="drop"))
     return tuple(out), res0, res1
+
+
+# ---------------------------------------------------------------------------
+# fully-async db-vs-itself MEM pipeline (the -q db-vs-self workload):
+# classification -> replay -> witness assembly -> emission as chained
+# device programs with TWO total host syncs.  Mirrors the host
+# _ref_witness_state speedup-2 state machine statement for statement.
+# ---------------------------------------------------------------------------
+
+
+def _scan_sparse(table, idx, dep, levels: int, n1: int, H: int,
+                 right: bool):
+    """Interval-boundary scan with a singleton fast path: lanes whose
+    bounding lcp already breaks the threshold answer immediately (one
+    gather); the rest are compacted to H slots, galloped in two
+    geometric stages, and scattered back.  Returns (answer,
+    n_hard) — n_hard > H means some lanes kept the (wrong) singleton
+    answer and the caller must fall back."""
+    nq = idx.shape[0]
+    col = jnp.clip(idx + 1, 0, n1 - 1) if right \
+        else jnp.clip(idx, 0, n1 - 1)
+    lcp0 = table[0, col]
+    if right:
+        singleton = (idx + 1 > n1 - 1) | (lcp0 < dep)
+    else:
+        singleton = lcp0 < dep
+    hard = ~singleton
+    n_hard = jnp.sum(hard.astype(jnp.int32))
+    dst = jnp.cumsum(hard.astype(jnp.int32)) - 1
+    dst = jnp.where(hard & (dst < H), dst, H)
+    idxh = jnp.zeros(H, jnp.int32).at[dst].set(idx, mode="drop")
+    deph = jnp.full(H, jnp.int32(2**30), jnp.int32).at[dst].set(
+        dep, mode="drop")
+    posh = jnp.full(H, nq, jnp.int32).at[dst].set(
+        jnp.arange(nq, dtype=jnp.int32), mode="drop")
+    gallop = _gallop_right if right else _gallop_left
+    # stage 1: bounded trips at H; survivors continue at H//8
+    th, mh, eh = gallop(table, idxh, deph, levels, n1, max_trips=10)
+    unres = mh < 2
+    H2 = max(1, H // 8)
+    n2 = jnp.sum(unres.astype(jnp.int32))
+    d2 = jnp.cumsum(unres.astype(jnp.int32)) - 1
+    d2 = jnp.where(unres & (d2 < H2), d2, H2)
+
+    def scat2(a, fill):
+        return jnp.full(H2, fill, jnp.int32).at[d2].set(a, mode="drop")
+
+    th2, _, _ = gallop(table, scat2(th, 0), scat2(deph, 2**30),
+                       levels, n1, max_trips=2 * levels + 4,
+                       m0=scat2(mh, 2), e0=scat2(eh, 0))
+    pos2 = scat2(posh, nq)
+    ans = idx
+    ans = ans.at[jnp.where(posh < nq, posh, nq)].set(th, mode="drop")
+    ans = ans.at[jnp.where(pos2 < nq, pos2, nq)].set(th2, mode="drop")
+    bad = ((n_hard > H) | (n2 > H2)).astype(jnp.int32)
+    return ans, bad
+
+
+def _gallop_left(table, idx, dep, levels: int, n1: int,
+                 max_trips: int | None = None, m0=None, e0=None):
+    """max s <= idx with lcp[s] < dep (dep >= 1 for live lanes) —
+    adaptive: gallop the window level up until it contains a
+    qualifying element (or crosses rank 0), then do the aligned
+    top-down descent from that level.  Cost ~2 log2(result interval
+    width) gathers per lane instead of the fixed `levels`; on
+    high-depth queries the interval is almost always a singleton and
+    the loop exits after one trip.  ``max_trips`` bounds the loop (for
+    staged compaction); ``m0``/``e0`` resume a bounded run."""
+    tflat = table.reshape(-1)
+    mode0 = jnp.zeros(idx.shape, jnp.int32) if m0 is None else m0
+    e0 = jnp.zeros(idx.shape, jnp.int32) if e0 is None else e0
+    cap = jnp.int32(max_trips if max_trips is not None
+                    else 2 * levels + 4)
+
+    def cond(st):
+        i, m, e, t = st
+        return (i < cap) & jnp.any(m < 2)
+
+    def body(st):
+        i, m, e, t = st
+        w = jnp.left_shift(jnp.int32(1), e)
+        lo = t - w + 1
+        mn = tflat[e * n1 + jnp.clip(lo, 0, n1 - 1)]
+        g = m == 0
+        d = m == 1
+        found = (lo < 0) | (mn < dep)
+        m_g = jnp.where(found, jnp.where(e == 0, 2, 1), 0)
+        e_g = jnp.where(found, e - 1, e + 1)
+        skip = (lo >= 0) & (mn >= dep)
+        t_d = jnp.where(skip, t - w, t)
+        m_d = jnp.where(e == 0, jnp.int32(2), jnp.int32(1))
+        e_d = e - 1
+        m2 = jnp.where(g, m_g, jnp.where(d, m_d, m))
+        e2 = jnp.clip(jnp.where(g, e_g, jnp.where(d, e_d, e)),
+                      0, levels - 1)
+        t2 = jnp.where(d, t_d, t)
+        return i + 1, m2, e2, t2
+
+    _, m, e, t = lax.while_loop(cond, body,
+                                (jnp.int32(0), mode0, e0, idx))
+    return t, m, e
+
+
+def _gallop_right(table, idx, dep, levels: int, n1: int,
+                  max_trips: int | None = None, m0=None, e0=None):
+    """(min s > idx with lcp[s] < dep) - 1 — gallop twin of
+    :func:`_gallop_left`."""
+    tflat = table.reshape(-1)
+    nmax = n1 - 1
+    mode0 = jnp.zeros(idx.shape, jnp.int32) if m0 is None else m0
+    e0 = jnp.zeros(idx.shape, jnp.int32) if e0 is None else e0
+    cap = jnp.int32(max_trips if max_trips is not None
+                    else 2 * levels + 4)
+
+    def cond(st):
+        i, m, e, t = st
+        return (i < cap) & jnp.any(m < 2)
+
+    def body(st):
+        i, m, e, t = st
+        w = jnp.left_shift(jnp.int32(1), e)
+        mn = tflat[e * n1 + jnp.clip(t + 1, 0, n1 - 1)]
+        over = t + w > nmax
+        g = m == 0
+        d = m == 1
+        found = over | (mn < dep)
+        m_g = jnp.where(found, jnp.where(e == 0, 2, 1), 0)
+        e_g = jnp.where(found, e - 1, e + 1)
+        skip = (~over) & (mn >= dep)
+        t_d = jnp.where(skip, t + w, t)
+        m_d = jnp.where(e == 0, jnp.int32(2), jnp.int32(1))
+        e_d = e - 1
+        m2 = jnp.where(g, m_g, jnp.where(d, m_d, m))
+        e2 = jnp.clip(jnp.where(g, e_g, jnp.where(d, e_d, e)),
+                      0, levels - 1)
+        t2 = jnp.where(d, t_d, t)
+        return i + 1, m2, e2, t2
+
+    _, m, e, t = lax.while_loop(cond, body,
+                                (jnp.int32(0), mode0, e0, idx))
+    return t, m, e
+
+
+def _scan_left_in(table, idx, depth, levels: int, n1: int):
+    t = idx
+    for e in range(levels - 1, -1, -1):
+        lo = t - (1 << e) + 1
+        mn = table[e, jnp.clip(lo, 0, n1 - 1)]
+        t = jnp.where((lo >= 0) & (mn >= depth), t - (1 << e), t)
+    return t
+
+
+def _scan_right_in(table, idx, depth, levels: int, n1: int):
+    t = idx
+    nmax = n1 - 1
+    for e in range(levels - 1, -1, -1):
+        mn = table[e, jnp.clip(t + 1, 0, n1 - 1)]
+        t = jnp.where((t + (1 << e) <= nmax) & (mn >= depth),
+                      t + (1 << e), t)
+    return t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq", "n", "n1", "pl", "sigma", "levels", "R",
+                     "H"))
+def _qself_classify(qtext, suftab, stitab, s1, bck, table, L,
+                    nq: int, n: int, n1: int, pl: int, sigma: int,
+                    levels: int, R: int, H: int):
+    """Lane setup + fast-path matching statistics + canonical scans +
+    fresh/shortcut/iso classification + replay-lane compaction, all in
+    one dispatch (db==query identical-text case)."""
+    from ..core.chardef import SEPARATOR, WILDCARD
+
+    pos = jnp.arange(nq, dtype=jnp.int32)
+    qt = qtext.astype(jnp.int32)
+    sep = qt == SEPARATOR
+    special = qt >= WILDCARD
+    nxt_sep = lax.associative_scan(
+        jnp.minimum, jnp.where(sep, pos, jnp.int32(nq)), reverse=True)
+    rem = nxt_sep - pos
+    lane = rem >= L
+    prev_sep = jnp.concatenate([jnp.ones(1, bool), sep[:-1]])
+    seq_start = lane & prev_sep
+    nxt_spec = lax.associative_scan(
+        jnp.minimum, jnp.where(special, pos, jnp.int32(nq)),
+        reverse=True)
+    ms = nxt_spec - pos
+
+    # rolling bucket code at depth pl (host bucket_codes semantics:
+    # digits from the first special onward are sigma-1)
+    padded = jnp.concatenate(
+        [qt, jnp.full(max(pl, 1), SEPARATOR, jnp.int32)])
+    fs = jnp.full(nq, jnp.int32(pl), jnp.int32)
+    code = jnp.zeros(nq, jnp.int32)
+    for j in range(pl):
+        cj = lax.dynamic_slice(padded, (j,), (nq,))
+        isp = cj >= WILDCARD
+        fs = jnp.where(isp & (fs > j), j, fs)
+        code = code * sigma + jnp.where(fs > j, cj, sigma - 1)
+    valid = fs >= pl
+    bl = bck[2 * code].astype(jnp.int32)
+    br = bck[2 * code + 1].astype(jnp.int32)
+    nonempty = lane & valid & (br > bl)
+    maxlen = jnp.where(nonempty, jnp.minimum(ms, rem), 0)
+    member = jnp.where(nonempty, stitab[:nq], 0)
+
+    BIGDEP = jnp.int32(2**30)
+    dep = jnp.where(nonempty, jnp.maximum(maxlen, 1), BIGDEP)
+    ileft, bad0 = _scan_sparse(table, member, dep, levels, n1, H,
+                               right=False)
+    iright, bad1 = _scan_sparse(table, member, dep, levels, n1, H,
+                                right=True)
+
+    def shift1(a, fill=0):
+        return jnp.concatenate(
+            [jnp.full(1, fill, a.dtype), a[:-1]])
+
+    prev_off = jnp.where(seq_start, 0, shift1(maxlen))
+    prev_left = shift1(ileft)
+    prev_right = shift1(iright)
+    prev_ne = shift1(nonempty.astype(jnp.int32)).astype(bool) \
+        & ~seq_start
+    nxtr = jnp.minimum(
+        suftab[jnp.where(prev_ne, prev_right, 0)] + 1, n)
+    capped = s1[nxtr].astype(jnp.int32) == 255
+    fresh = nonempty & ((prev_off <= pl) | capped | seq_start)
+    shortcut = nonempty & ~fresh
+    d1 = prev_off - 1
+    startl = jnp.minimum(
+        bl + s1[jnp.minimum(suftab[prev_left] + 1, n)].astype(
+            jnp.int32), n1 - 1)
+    startr = jnp.minimum(
+        bl + s1[jnp.minimum(suftab[prev_right] + 1, n)].astype(
+            jnp.int32), n1 - 1)
+    d1m = jnp.where(shortcut, d1, BIGDEP)
+    rankl, bad2 = _scan_sparse(table, startl, d1m, levels, n1, H,
+                               right=False)
+    rankr, bad3 = _scan_sparse(table, startr, d1m, levels, n1, H,
+                               right=True)
+    badscan = bad0 + bad1 + bad2 + bad3
+    iso = shortcut & (rankr - rankl == prev_right - prev_left)
+    noniso = shortcut & ~iso
+    replay = fresh | noniso
+    proceed = nonempty & (maxlen >= L)
+
+    # compact replay lanes into R slots (overflow detected later)
+    rl = jnp.where(fresh, bl, rankl)
+    rr = jnp.where(fresh, br - 1, rankr)
+    o0 = jnp.where(fresh, jnp.int32(pl), d1)
+    nrep = jnp.sum(replay.astype(jnp.int32))
+    dst = jnp.cumsum(replay.astype(jnp.int32)) - 1
+    dst = jnp.where(replay & (dst < R), dst, R)
+
+    def scat(a, fill):
+        return jnp.full(R, fill, jnp.int32).at[dst].set(
+            a, mode="drop")
+
+    lane_idx = scat(pos, -1)
+    state = (  # noqa: keep layout in sync with _fmp_trip
+        jnp.where(lane_idx >= 0, jnp.int32(0), _DONE),   # phase
+        scat(rl, 0), scat(rr, 0),                        # lo, hi
+        jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32),  # l/rpref
+        scat(o0, 0),                                     # cur
+        jnp.zeros(R, jnp.int32), scat(rl, 0),            # wit0, wit1
+        scat(rl, 0),                                     # tgt
+        suftab[jnp.clip(scat(rl, 0), 0, n)],             # cstart
+        scat(o0, 0), scat(o0, 0),                        # l, off0
+        scat(pos, 0), scat(rem, 0),                      # qpos, qlen
+        lane_idx,
+    )
+    return (proceed, maxlen, member, iso, nonempty, bl, state, nrep,
+            badscan)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "W", "R2", "n", "nq", "bits", "D"))
+def _fmp_stage1(text, P, suftab, state, wacc,
+                T: int, W: int, R2: int, n: int, nq: int, bits: int,
+                D: int):
+    """Fixed T trips, then harvest resolved lanes' witnesses into the
+    full-width accumulator and compact survivors to R2 slots (db-vs-
+    self replay: query side == db side)."""
+    state = lax.fori_loop(
+        0, T,
+        lambda _, st: _fmp_trip(text, P, suftab, text, P, st,
+                                n, nq, bits, D, W),
+        state)
+    phase = state[0]
+    idx = state[14]
+    done = (phase >= _DONE) & (idx >= 0)
+    wacc = wacc.at[jnp.where(done, idx, nq)].set(
+        state[7], mode="drop")
+    live = phase < _DONE
+    nlive = jnp.sum(live.astype(jnp.int32))
+    dst = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dst = jnp.where(live & (dst < R2), dst, R2)
+    out = []
+    for j, arr in enumerate(state):
+        fill = _DONE if j == 0 else (-1 if j == 14 else 0)
+        out.append(jnp.full(R2, fill, arr.dtype).at[dst].set(
+            arr, mode="drop"))
+    return tuple(out), wacc, nlive
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "W", "n", "nq", "bits", "D"))
+def _fmp_finish(text, P, suftab, state, wacc,
+                T: int, W: int, n: int, nq: int, bits: int, D: int):
+    """Run the survivors to completion (bounded by T trips) in one
+    dispatch and harvest; returns the count left unresolved."""
+
+    def cond(carry):
+        i, st = carry
+        return (i < T) & jnp.any(st[0] < _DONE)
+
+    def body(carry):
+        i, st = carry
+        st = _fmp_trip(text, P, suftab, text, P, st, n, nq,
+                       bits, D, W)
+        return i + 1, st
+
+    _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+    phase = state[0]
+    idx = state[14]
+    done = (phase >= _DONE) & (idx >= 0)
+    wacc = wacc.at[jnp.where(done, idx, nq)].set(
+        state[7], mode="drop")
+    nunf = jnp.sum((phase < _DONE).astype(jnp.int32))
+    return wacc, nunf
+
+
+@functools.partial(jax.jit, static_argnames=("nq", "n"))
+def _qself_witness(wacc, iso, nonempty, bl, suftab, stitab,
+                   nq: int, n: int):
+    """Isomorphic-chain closed form over the harvested witnesses
+    (w_{a+k} = inv[suftab[w_a] + k]) + saturation-failure count."""
+    witness = wacc
+    pos = jnp.arange(nq, dtype=jnp.int32)
+    anchor_ok = (~iso) & nonempty
+    last_anchor = lax.cummax(jnp.where(anchor_ok, pos, -1))
+    a = jnp.maximum(last_anchor, 0)
+    dist = pos - a
+    wsrc = witness[a]
+    raw = stitab[jnp.minimum(suftab[wsrc] + dist, n)]
+    witness = jnp.where(iso, raw, witness)
+    capfail = iso & (raw - bl >= 255)
+    ncap = jnp.sum(capfail.astype(jnp.int32))
+    return witness, ncap
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "nq"))
+def _qself_bounds(lcp, witness, proceed, L, n1: int, nq: int):
+    """Run bounds at the FIXED threshold L: prev/next-smaller-value
+    arrays from two elementwise scans over the lcp row + one gather
+    per witness — no per-level descents."""
+    idxs = jnp.arange(n1, dtype=jnp.int32)
+    small = lcp < L
+    runleft = lax.cummax(jnp.where(small, idxs, -1))
+    nxt = lax.associative_scan(
+        jnp.minimum, jnp.where(small, idxs, jnp.int32(n1)),
+        reverse=True)
+    nxt_sh = jnp.concatenate([nxt[1:], jnp.full(1, n1, jnp.int32)])
+    w = jnp.clip(witness, 0, n1 - 1)
+    A = runleft[w]
+    B = jnp.minimum(nxt_sh[w] - 1, n1 - 1)
+    cnt = jnp.where(proceed, B - A + 1, 0)
+    offs = jnp.cumsum(cnt) - cnt
+    total = offs[-1] + cnt[-1]
+    return A, B, offs, total
+
+
+@functools.partial(
+    jax.jit, static_argnames=("E", "nq", "n", "n1"))
+def _qself_expand(text, suftab, qtext, table, log2tab, A, B, offs,
+                  witness, maxlen, proceed,
+                  E: int, nq: int, n: int, n1: int):
+    """Masked full-width variant of _mem_expand: groups are query
+    positions with proceed set; left-maximality prefilter runs BEFORE
+    the RMQ so only surviving records pay the range-min gathers."""
+    from ..core.chardef import WILDCARD as _W
+
+    total = offs[-1] + jnp.where(proceed[-1], B[-1] - A[-1] + 1, 0)
+    gseed = jnp.zeros(E, jnp.int32).at[
+        jnp.where(proceed, jnp.minimum(offs, E), E)].max(
+        jnp.arange(nq, dtype=jnp.int32), mode="drop")
+    g = lax.associative_scan(jnp.maximum, gseed)
+    slot = jnp.arange(E, dtype=jnp.int32)
+    live = slot < total
+    step = slot - offs[g]
+    wk = jnp.clip(witness[g], 0, n1 - 1)
+    Ak = A[g]
+    nleft = wk - Ak + 1
+    is_left = step < nleft
+    ranks = jnp.where(is_left, wk - step, Ak + step)
+    ranks = jnp.clip(ranks, 0, n1 - 1)
+    # left-maximality PRE-filter.  qoff==0 (host leftq=255) implies
+    # qtext[g-1] is a separator (>= WILDCARD) or g==0 — identical
+    # emit outcome, so the raw previous char stands in for leftq
+    sufstart = suftab[ranks]
+    leftq = jnp.where(
+        g == 0, jnp.int32(255),
+        qtext[jnp.clip(g - 1, 0, nq - 1)].astype(jnp.int32))
+    prevc = text[jnp.clip(sufstart - 1, 0, n - 1)].astype(jnp.int32)
+    emit = live & ((sufstart == 0) | (leftq >= _W) | (prevc != leftq))
+    dst = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    dst = jnp.where(emit, dst, E)
+    c_rank = jnp.zeros(E, jnp.int32).at[dst].set(ranks, mode="drop")
+    c_pos = jnp.full(E, -1, jnp.int32).at[dst].set(
+        sufstart, mode="drop")
+    c_g = jnp.zeros(E, jnp.int32).at[dst].set(g, mode="drop")
+    kept = jnp.sum(emit.astype(jnp.int32))
+    # RMQ lengths only for survivors
+    wk2 = jnp.clip(witness[c_g], 0, n1 - 1)
+    lo_r = jnp.minimum(c_rank, wk2)
+    hi_r = jnp.maximum(c_rank, wk2)
+    same = lo_r == hi_r
+    q_lo = jnp.minimum(lo_r + 1, n1 - 1)
+    q_hi = jnp.maximum(hi_r, q_lo)
+    width = q_hi - q_lo + 1
+    k = log2tab[jnp.clip(width, 1, n1)]
+    mn = jnp.minimum(
+        table[k, jnp.clip(q_lo, 0, n1 - 1)],
+        table[k, jnp.clip(q_hi - (1 << k) + 1, 0, n1 - 1)])
+    c_len = jnp.where(same, maxlen[c_g], jnp.minimum(maxlen[c_g], mn))
+    return c_pos, c_len, c_g, kept
+
+
+def _sti1_dev(esa):
+    cache = esa._device_cache
+    if "s1" not in cache:
+        s1 = getattr(esa, "_sti1_cache", None)
+        if s1 is None:
+            from ..index.io import sti1_table
+
+            s1 = sti1_table(esa.suftab, esa.lcptab, esa.prefixlength)
+            esa._sti1_cache = s1
+        cache["s1"] = jnp.asarray(s1)
+    return cache["s1"]
+
+
+def find_query_mems_self_device(esa, query, L: int):
+    """db-vs-itself -q MEM matching (qspeedup 2) as a chained-async
+    device pipeline; returns (dbpos, length, qpos) host arrays in
+    reference emission order, or None when a static budget overflowed
+    (caller falls back to the general path)."""
+    from .query import _dev_lcp_rmq
+
+    qtext = query.sequence
+    nq = int(qtext.size)
+    n = esa.totallength
+    sigma = esa.alpha.num_regular
+    pl = esa.prefixlength
+    table, levels, n1 = _dev_lcp_rmq(esa)
+    text_dev, P, suftab, bits, D, _ = _db_tables(esa)
+    stitab = esa.device("stitab")
+    s1 = _sti1_dev(esa)
+    cache = esa._device_cache
+    if "bck" not in cache:
+        cache["bck"] = jnp.asarray(esa.bcktab.astype(np.int64))
+    bck = cache["bck"]
+    if "log2tab" not in cache:
+        cache["log2tab"] = jnp.asarray(
+            np.floor(np.log2(np.maximum(np.arange(n1 + 2), 1))
+                     ).astype(np.int32))
+    log2tab = cache["log2tab"]
+
+    R = _nice_size(max(4096, nq // 12))
+    R2 = _nice_size(max(1024, R // 4))
+    H = _nice_size(max(4096, nq // 2))
+    Ld = jnp.int32(L)
+    (proceed, maxlen, member, iso, nonempty, bl, state, nrep,
+     badscan) = _qself_classify(
+        text_dev, suftab, stitab, s1, bck, table, Ld,
+        nq, n, n1, pl, sigma, levels, R, H)
+    state, wacc, nlive = _fmp_stage1(
+        text_dev, P, suftab, state, member, 12, 1, R2, n, nq, bits,
+        D)
+    wacc, nunf = _fmp_finish(
+        text_dev, P, suftab, state, wacc, 4096, 4, n, nq, bits, D)
+    witness, ncap = _qself_witness(
+        wacc, iso, nonempty, bl, suftab, stitab, nq, n)
+    A, B, offs, total = _qself_bounds(
+        table[0], witness, proceed, Ld, n1, nq)
+    # ---- sync 1: budget checks + expansion size ----
+    chk = np.asarray(jnp.stack(
+        [total, nrep, ncap, nunf, nlive, badscan]))
+    (total_i, nrep_i, ncap_i, nunf_i, nlive_i,
+     badscan_i) = (int(x) for x in chk)
+    if (nrep_i > R or ncap_i > 0 or nunf_i > 0 or nlive_i > R2
+            or badscan_i > 0):
+        return None
+    E = _nice_size(max(1, total_i))
+    c_pos, c_len, c_g, kept = _qself_expand(
+        text_dev, suftab, text_dev, table, log2tab, A, B, offs,
+        witness, maxlen, proceed, E, nq, n, n1)
+    # ---- sync 2: record download ----
+    kept_i = int(kept)
+    return (np.asarray(c_pos[:kept_i]).astype(np.int64),
+            np.asarray(c_len[:kept_i]).astype(np.int64),
+            np.asarray(c_g[:kept_i]).astype(np.int64))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "levels", "n1"))
