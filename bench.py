@@ -418,6 +418,7 @@ def extra_metrics(esa, text, ms):
             from vstree_tpu.engine.gextend import (
                 Seqs,
                 edit_extend_seeds,
+                edit_extend_self_device,
             )
             from vstree_tpu.engine.repeats import find_maximal_pairs_ref
             from vstree_tpu.stats.evalues import Evalues
@@ -425,8 +426,11 @@ def extra_metrics(esa, text, ms):
             ev = Evalues(1.0 / esa.alpha.num_regular)
 
             def run_ext():
-                seeds = find_maximal_pairs_ref(esa, 10)
                 sq = Seqs(ms.sequence, ms.sequence)
+                mt = edit_extend_self_device(esa, sq, ev, 2, 30, 10)
+                if mt is not None:
+                    return mt
+                seeds = find_maximal_pairs_ref(esa, 10)
                 return edit_extend_seeds(
                     sq, ev, seeds, 2, 30, 10, querycompare=False,
                     selfmode=True)

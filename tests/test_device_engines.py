@@ -158,6 +158,49 @@ def test_query_self_async_pipeline_vs_host(rng):
                 err_msg=f"{trial}:{f}")
 
 
+def test_edit_extension_device_vs_host(rng):
+    """Device fronts + viability prefilter (gextend_dev
+    edit_fronts_viable, including the fused no-sync slides) vs the
+    host edit_fronts path: full extension output equality."""
+    import os
+
+    from vstree_tpu.engine.gextend import Seqs, edit_extend_seeds
+    from vstree_tpu.engine.repeats import find_maximal_pairs_ref
+    from vstree_tpu.stats.evalues import Evalues
+
+    for trial in range(3):
+        n = int(rng.integers(3000, 8000))
+        text = random_dna_text(rng, n, n_wild=5, n_sep=2)
+        # duplicated block => long seeds and deep slides
+        blk = text[100:100 + n // 4].copy()
+        text[n // 2:n // 2 + blk.size] = blk
+        esa = build_esa(_ms_of(text), dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        seeds = find_maximal_pairs_ref(esa, 10)
+        if len(seeds) == 0:
+            continue
+        ev = Evalues(0.25)
+
+        def run(flag):
+            os.environ["VSTREE_DEVICE_ENGINES"] = flag
+            try:
+                sq = Seqs(text, text)
+                return edit_extend_seeds(sq, ev, seeds, 2, 30, 10,
+                                         querycompare=False,
+                                         selfmode=True)
+            finally:
+                del os.environ["VSTREE_DEVICE_ENGINES"]
+
+        dev = run("1")
+        host = run("0")
+        assert len(dev.position1) == len(host.position1), trial
+        for f in ("position1", "length1", "position2", "length2",
+                  "distance"):
+            np.testing.assert_array_equal(
+                getattr(dev, f), getattr(host, f),
+                err_msg=f"{trial}:{f}")
+
+
 def test_skip_table_adversarial():
     cases = [
         np.concatenate([[0], np.full(5000, 7, np.int32), [0]]),

@@ -938,17 +938,30 @@ def run(argv: list[str], out=None) -> int:
                 k = k_e if k_e is not None else k_h
                 seedlength = max(opts.get("seedlength") or 0,
                                  opts["l"] // (k + 1))
-                seeds = _cross_filter(find_maximal_pairs_ref(esa, seedlength))
                 sq = Seqs(ms.sequence, ms.sequence)
-                if k_e is not None:
-                    mt = edit_extend_seeds(
-                        sq, ev, seeds, k, opts["l"], seedlength,
-                        querycompare=False, selfmode=True,
+                mt = None
+                if k_e is not None and not has_iq:
+                    # fused device path: seeds never leave HBM
+                    from ..engine.gextend import (
+                        edit_extend_self_device,
+                    )
+
+                    mt = edit_extend_self_device(
+                        esa, sq, ev, k, opts["l"], seedlength,
                         allmax=opts["allmax"])
-                else:
-                    mt = hamming_extend_seeds(
-                        sq, ev, seeds, k, opts["l"], seedlength,
-                        querycompare=False, allmax=opts["allmax"])
+                if mt is None:
+                    seeds = _cross_filter(
+                        find_maximal_pairs_ref(esa, seedlength))
+                    if k_e is not None:
+                        mt = edit_extend_seeds(
+                            sq, ev, seeds, k, opts["l"], seedlength,
+                            querycompare=False, selfmode=True,
+                            allmax=opts["allmax"])
+                    else:
+                        mt = hamming_extend_seeds(
+                            sq, ev, seeds, k, opts["l"], seedlength,
+                            querycompare=False,
+                            allmax=opts["allmax"])
             else:
                 mt = _cross_filter(find_maximal_pairs_ref(esa, opts["l"]))
             tables.append(mt)

@@ -91,18 +91,30 @@ class Multiseq:
         )
 
     def pos_to_pair(self, positions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized absolute position -> (seqnum, relpos)."""
+        """Vectorized absolute position -> (seqnum, relpos).
+
+        Uses a cached position->seqnum lookup table (two O(1) gathers
+        per query) instead of per-call binary searches: match
+        assembly feeds millions of positions per run and numpy
+        searchsorted is ~30x slower than fancy indexing."""
         positions = np.asarray(positions, dtype=np.int64)
         if self.markpos.size == 0:
             # single sequence: absolute == relative
             return np.zeros(positions.size, np.int64), positions
-        seqnums = self.pos_to_seqnum(positions)
-        starts = np.where(
-            seqnums == 0,
-            0,
-            self.markpos_padded[np.maximum(seqnums - 1, 0)] + 1,
-        )
-        return seqnums, positions - starts
+        lut = getattr(self, "_pair_lut", None)
+        if (lut is None or lut[0].size != self.totallength + 1
+                or lut[2] != self.markpos.size):
+            n = self.totallength
+            is_sep = np.zeros(n + 1, bool)
+            is_sep[self.markpos_padded] = True
+            seqlut = np.cumsum(is_sep).astype(np.int64)
+            starts = np.concatenate(
+                [[0], self.markpos_padded + 1]).astype(np.int64)
+            rellut = np.arange(n + 1, dtype=np.int64) - starts[seqlut]
+            lut = (seqlut, rellut, self.markpos.size)
+            self._pair_lut = lut
+        seqlut, rellut, _ = lut
+        return seqlut[positions], rellut[positions]
 
     @property
     def markpos_padded(self) -> np.ndarray:

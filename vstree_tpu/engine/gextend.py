@@ -571,11 +571,60 @@ def edit_extend_seeds(
         hl = hl[vidx]
         rf = rf[vidx]
         hr = hr[vidx]
-    pos1 = pos1[vidx]
-    pos2 = pos2[vidx]
-    slen = slen[vidx]
+    return _extend_combine(
+        sq, ev, seeds.select(vidx), lf, hl, rf, hr,
+        pos1[vidx], pos2[vidx], slen[vidx], maxdist, leastlength,
+        querycompare, selfmode, allmax)
+
+
+def edit_extend_self_device(esa, sq: Seqs, ev: Evalues,
+                            maxdist: int, leastlength: int,
+                            seedlength: int, allmax: bool = False):
+    """Fused seeds -> extension for plain self comparison: maximal
+    pairs are enumerated on device (engine/repeats_dev.py), fed to
+    the device viability prefilter WITHOUT ever being downloaded, and
+    only the surviving few percent cross the link.  Returns None when
+    the device path is unavailable (caller runs the two-step path)."""
+    from .repeats import _pairs_to_matchtable, _use_device_engines
+
+    if not _use_device_engines():
+        return None
+    from .repeats_dev import maximal_pairs_device_positions
+
+    got = maximal_pairs_device_positions(esa, seedlength)
+    if got is None:
+        return None
+    (p1_d, p2_d, d_d), total = got
+    if total == 0:
+        return MatchTable()
+    from .gextend_dev import edit_fronts_viable
+
+    vidx, lf, hl, rf, hr = edit_fronts_viable(
+        sq, p1_d, p2_d, d_d, maxdist, leastlength, seedlength)
+    if vidx.size == 0:
+        return MatchTable()
+    import jax.numpy as jnp
+
+    sel = jnp.asarray(vidx.astype(np.int32))
+    cols = np.asarray(jnp.stack([p1_d[sel], p2_d[sel], d_d[sel]]))
+    pos1 = cols[0].astype(np.int64)
+    pos2 = cols[1].astype(np.int64)
+    slen = cols[2].astype(np.int64)
+    seeds_v = _pairs_to_matchtable(esa, pos1, pos2, slen)
+    return _extend_combine(
+        sq, ev, seeds_v, lf, hl, rf, hr, pos1, pos2, slen,
+        maxdist, leastlength, False, True, allmax)
+
+
+def _extend_combine(sq, ev, seeds, lf, hl, rf, hr, pos1, pos2, slen,
+                    maxdist, leastlength, querycompare, selfmode,
+                    allmax):
+    """(dist, l, r, diag, diag) combination over the viable seeds
+    (extendED.c:200-355) — all arrays already restricted to the
+    prefilter survivors."""
     remain = np.maximum(leastlength - slen, 0)
-    S = vidx.size
+    S = pos1.size
+    vidx = np.arange(S)
     viable = np.ones(S, bool)
 
     best = {

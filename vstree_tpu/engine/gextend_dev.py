@@ -186,13 +186,23 @@ def _level_post(tv, kk, act, same_ptr, run, fronts, h, finished,
 
 
 def _fronts_direction(sq, tabs, base1, base2, ulen, vlen,
-                      maxdist: int, forward: bool, reach: int):
+                      maxdist: int, forward: bool, reach: int,
+                      nosync: bool = True):
     """Host driver for one direction: level loop with the compacted
-    two-text LCE ladder doing the slides."""
+    two-text LCE ladder doing the slides.
+
+    ``nosync`` runs each level's slides as one fused dispatch
+    (index/sort.py device_lce_pairs_nosync) and returns the summed
+    overflow flag as a third result; the caller re-runs with
+    nosync=False when it is nonzero (rare: more than M/8 lanes slid
+    past 26 chars)."""
+    from ..index.sort import device_lce_pairs_nosync
+
     S = int(base1.shape[0])
     D = 2 * maxdist + 1
     n1, n2 = sq.n1, sq.n2
     sigma = tabs["sigma"]
+    bits, Dw = lce_pack_params(sigma)
     Pa = tabs["Pf1"] if forward else tabs["Pb1"]
     Pb = tabs["Pf2"] if forward else tabs["Pb2"]
     bound_u = jnp.minimum(
@@ -211,20 +221,32 @@ def _fronts_direction(sq, tabs, base1, base2, ulen, vlen,
     finished = empty
     foundseed = jnp.zeros(S, bool)
     selfsame = sq.s2 is sq.s1
+    oflow = jnp.int32(0)
+    M = S * D
+    M2 = max(1024, M // 8)
     for p in range(1, maxdist + 1):
         prev = fronts[:, p - 1, :]
         tv, kk, act, same_ptr, ar, br, probe = _level_pre(
             prev, base1, base2, ulen, vlen, finished,
             S, maxdist, forward, selfsame, n1, n2, p)
-        run = device_lce_pairs(
-            None, n1, sigma, ar, br, S * D,
-            tables=Pa, tables_b=Pb, nb=n2, active0=probe)
+        if nosync:
+            run, of = device_lce_pairs_nosync(
+                Pa, Pb, ar.astype(jnp.int32), br.astype(jnp.int32),
+                jnp.zeros(M, jnp.int32), probe, M, M2, n1, n2,
+                bits, Dw)
+            # slides on non-probe lanes must read 0 (host parity)
+            run = jnp.where(probe, run, 0)
+            oflow = oflow + of
+        else:
+            run = device_lce_pairs(
+                None, n1, sigma, ar, br, M,
+                tables=Pa, tables_b=Pb, nb=n2, active0=probe)
         fronts, h, finished, foundseed = _level_post(
             tv, kk, act, same_ptr, run, fronts, h, finished,
             foundseed, ulen, vlen, bound_u, bound_v,
             jnp.int32(max(reach, 0)), S, maxdist, forward,
             reach > 0, p)
-    return fronts, h
+    return fronts, h, oflow
 
 
 @functools.partial(jax.jit, static_argnames=("S", "maxdist"))
@@ -248,23 +270,38 @@ def edit_fronts_viable(sq, pos1, pos2, slen, maxdist: int,
     Returns (vidx, lf, hl, rf, hr) with the front tensors already
     compacted to the viable seeds (host int64 arrays, shaped like the
     host edit_fronts outputs restricted to vidx)."""
-    S = int(pos1.size)
+    S = int(pos1.shape[0])
     n1, n2 = sq.n1, sq.n2
     tabs = _dev_tables(sq)
-    p1d = jnp.asarray(pos1.astype(np.int32))
-    p2d = jnp.asarray(pos2.astype(np.int32))
-    sld = jnp.asarray(slen.astype(np.int32))
-    lf, hl = _fronts_direction(
-        sq, tabs, p1d - 1, p2d - 1, p1d, p2d, maxdist,
-        forward=False, reach=seedlength)
-    rf, hr = _fronts_direction(
-        sq, tabs, p1d + sld, p2d + sld,
-        n1 - (p1d + sld), n2 - (p2d + sld), maxdist,
-        forward=True, reach=0)
-    remain = jnp.maximum(leastlength - sld, 0)
-    viable = (_maxext_device(lf, hl, S, maxdist)
-              + _maxext_device(rf, hr, S, maxdist)) >= remain
-    vidx = np.flatnonzero(np.asarray(viable))
+    if isinstance(pos1, np.ndarray):
+        p1d = jnp.asarray(pos1.astype(np.int32))
+        p2d = jnp.asarray(pos2.astype(np.int32))
+        sld = jnp.asarray(slen.astype(np.int32))
+    else:  # already device-resident (fused seed path)
+        p1d = pos1.astype(jnp.int32)
+        p2d = pos2.astype(jnp.int32)
+        sld = slen.astype(jnp.int32)
+    for nosync in (True, False):
+        lf, hl, of1 = _fronts_direction(
+            sq, tabs, p1d - 1, p2d - 1, p1d, p2d, maxdist,
+            forward=False, reach=seedlength, nosync=nosync)
+        rf, hr, of2 = _fronts_direction(
+            sq, tabs, p1d + sld, p2d + sld,
+            n1 - (p1d + sld), n2 - (p2d + sld), maxdist,
+            forward=True, reach=0, nosync=nosync)
+        remain = jnp.maximum(leastlength - sld, 0)
+        viable = (_maxext_device(lf, hl, S, maxdist)
+                  + _maxext_device(rf, hr, S, maxdist)) >= remain
+        # one sync: viability mask + slide-overflow flag together
+        # (int8: the mask is S bytes on a ~17 MB/s tunnel link)
+        chk = np.asarray(jnp.concatenate(
+            [viable.astype(jnp.int8),
+             jnp.clip(of1 + of2, 0, 1).astype(jnp.int8)[None]]))
+        vmask = chk[:S] != 0
+        if chk[S] == 0:
+            break
+        # rare: some slides overran the fused budget — redo synced
+    vidx = np.flatnonzero(vmask)
     z = np.zeros(0, np.int64)
     if vidx.size == 0:
         return vidx, None, z, None, z

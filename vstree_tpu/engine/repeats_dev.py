@@ -25,8 +25,8 @@ gathers per step).
 The emission order semantics are documented at
 engine/repeats.py:229-249 (matching vmatfind.c cartproduct1/2 +
 vdfstrav.c pop cascades); this module reproduces them key for key and
-is differentially tested against both the numpy path and the stack
-simulator (tests/test_repeats_dev.py).
+is differentially tested against the numpy path
+(tests/test_device_engines.py test_repeats_device_matches_host).
 """
 
 from __future__ import annotations
@@ -115,21 +115,15 @@ def _runs_compact(lcp, n1: int, L: int, MR: int):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("T", "R", "n1", "steps", "sigma", "want_order",
-                     "pack20", "d16"))
-def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
-                 T: int, R: int, n1: int, steps: int,
-                 sigma: int, want_order: bool, pack20: bool,
-                 d16: bool):
-    """One chunk of expanded candidate pairs (static T), run-chunked.
+    jax.jit, static_argnames=("T", "R", "n1", "sigma"))
+def _pairs_phase1(bwt, left, right, cum0,
+                  T: int, R: int, n1: int, sigma: int):
+    """Phase 1 of a pair chunk: triangular decode + left-diversity
+    filter + compaction of the surviving (ri, rj) to the front.
 
-    left/right: [R] interval bounds of this chunk's runs (padded n1);
-    cum0: [R] exclusive cumulative pair counts within the chunk
-    (pads INT32_INF).  Returns packed rank words sorted by the
-    reference emission key plus the surviving (left-diverse) pair
-    count; pads/dropped sort last.
-    """
+    Only the diverse minority ever reaches phase 2, so the RMQ
+    depths, event times and the emission sort run at the tight
+    surviving width instead of the full expansion."""
     kk_run = jnp.where(left < n1, right - left + 1, 0)
     # run id per pair: scatter run starts at their first pair index,
     # then a running max (cum0 is ascending)
@@ -140,8 +134,13 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
     tidx = jnp.arange(T, dtype=jnp.int32)
     pidx = tidx - cum0[iv]
     kk = kk_run[iv]
-    valid = (left[iv] < n1) & (pidx >= 0) & (pidx < (kk * (kk - 1)) // 2)
-    # triangular decode (float32 estimate + exact int correction)
+    valid = (left[iv] < n1) & (pidx >= 0) \
+        & (pidx < (kk * (kk - 1)) // 2)
+    # triangular decode: float32 estimate + exact int correction.
+    # Safe ranges are guaranteed by the driver's per-run pair cap
+    # (npairs/run <= _PAIR_CHUNK => kk <= 2897, pidc <= 2^22): all
+    # int math fits int32 and the float32 estimate is off by <= 2,
+    # within the 3-step correction.
     pidc = jnp.where(valid, pidx, 0)
     twok = (2 * kk - 1).astype(jnp.float32)
     s = jnp.floor(
@@ -153,7 +152,7 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
     def before(x):
         return x * (2 * kk - x - 1) // 2
 
-    for _ in range(2):
+    for _ in range(3):
         s = jnp.where(before(s) > pidc, s - 1, s)
         s = jnp.where(before(s + 1) <= pidc, s + 1, s)
     s = jnp.clip(s, 0, jnp.maximum(kk - 2, 0))
@@ -168,6 +167,27 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
     keyi = jnp.where(bi < sigma, bi, 256 + ri)
     keyj = jnp.where(bj < sigma, bj, 256 + rj)
     diverse = valid & (keyi != keyj)
+    cnt = jnp.sum(diverse.astype(jnp.int32))
+    cdst = jnp.cumsum(diverse.astype(jnp.int32)) - 1
+    cdst = jnp.where(diverse, cdst, T)
+    ri_c = jnp.zeros(T, jnp.int32).at[cdst].set(ri, mode="drop")
+    rj_c = jnp.zeros(T, jnp.int32).at[cdst].set(rj, mode="drop")
+    return ri_c, rj_c, cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "n1", "steps", "sigma", "want_order",
+                     "pack20", "d16"))
+def _pairs_phase2(rmq, log2tab, bwt, ri, rj, cnt,
+                  C: int, n1: int, steps: int, sigma: int,
+                  want_order: bool, pack20: bool, d16: bool):
+    """Phase 2 over the compacted diverse pairs: RMQ depth, event
+    time by bounded aligned-window descent, emission-key lexsort,
+    packed output."""
+    live = jnp.arange(C, dtype=jnp.int32) < cnt
+    d = _rmq_query(rmq, log2tab, ri + 1, rj, n1)
+    d = jnp.where(live, d, 0)
 
     def pack(ra, rb):
         if pack20:
@@ -180,24 +200,23 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
         return dv.astype(jnp.int16) if d16 else dv
 
     if not want_order:
-        d = _rmq_query(rmq, log2tab, ri + 1, rj, n1)
-        d = jnp.where(diverse, d, 0)
         w1, w2 = pack(ri, rj)
-        return (w1, w2, dpack(d), diverse,
-                jnp.sum(diverse.astype(jnp.int32)))
-
-    d = _rmq_query(rmq, log2tab, ri + 1, rj, n1)
-    d = jnp.where(diverse, d, 0)
+        return w1, w2, dpack(d)
 
     # event time: first r >= rj with lcp[r+1] <= d — aligned-window
-    # sparse-table descent, ONE gather per level: t += 2^e while
-    # min lcp[t+1 .. t+2^e] > d
+    # sparse-table descent, ONE gather per level; ``steps`` is bounded
+    # by log2(max run width) since events never leave the pair's own
+    # lcp>=L run (lcp[run_end+1] < L <= d)
     t_ev = rj
     for e in range(steps - 1, -1, -1):
         probe = rmq[e, jnp.clip(t_ev + 1, 0, n1 - 1)]
         t_ev = jnp.where((probe > d) & (t_ev + (1 << e) < n1),
                          t_ev + (1 << e), t_ev)
 
+    bi = bwt[ri].astype(jnp.int32)
+    bj = bwt[rj].astype(jnp.int32)
+    keyi = jnp.where(bi < sigma, bi, 256 + ri)
+    keyj = jnp.where(bj < sigma, bj, 256 + rj)
     # emission key (engine/repeats.py:229-249): class = bwt char for
     # regular left context, sigma for the unique list; son-unique
     # pairs swap (vmatfind.c:282-290)
@@ -210,12 +229,11 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
     Y = jnp.where(swap, ri, rj)
     A = jnp.where(F == sigma, X, Sc)
     Bk = jnp.where(F == sigma, Sc, X)
-    t_key = jnp.where(diverse, t_ev, INT32_INF)
+    t_key = jnp.where(live, t_ev, INT32_INF)
     negd = jnp.int32(2**30) - d
     order = jnp.lexsort((Y, Bk, A, F, negd, t_key))
     w1, w2 = pack(ri[order], rj[order])
-    return (w1, w2, dpack(d[order]), diverse[order],
-            jnp.sum(diverse.astype(jnp.int32)))
+    return w1, w2, dpack(d[order])
 
 
 # ---------------------------------------------------------------------------
@@ -223,19 +241,50 @@ def _pairs_chunk(rmq, log2tab, bwt, left, right, cum0,
 # ---------------------------------------------------------------------------
 
 
+def maximal_pairs_device_positions(esa: ESA, searchlength: int):
+    """Fused-seed variant: all maximal pairs in reference emission
+    order as DEVICE arrays (pos_min, pos_max, depth) — int32, tight
+    width — plus the host count.  Nothing but two chunk-count scalars
+    crosses the link, so a downstream device consumer (the greedy
+    extension prefilter) avoids the multi-MB pair download entirely.
+    Returns None when the pathological-run guard fires (host path
+    applies)."""
+    import jax.numpy as jnp
+
+    got = maximal_pairs_device(esa, searchlength, ref_order=True,
+                               device_out=True)
+    if got is None:
+        return None
+    d_parts, i_parts, j_parts = got
+    if not i_parts:
+        return (jnp.zeros(0, jnp.int32),) * 3, 0
+    ri = jnp.concatenate(i_parts)
+    rj = jnp.concatenate(j_parts)
+    dd = jnp.concatenate(d_parts)
+    suftab = esa.device("suftab")
+    p1 = suftab[ri]
+    p2 = suftab[rj]
+    return ((jnp.minimum(p1, p2), jnp.maximum(p1, p2), dd),
+            int(ri.shape[0]))
+
+
 def maximal_pairs_device(esa: ESA, searchlength: int,
-                         ref_order: bool = True):
+                         ref_order: bool = True,
+                         device_out: bool = False):
     """(d, rank_i, rank_j) of all maximal pairs, reference emission
     order (or unordered when ref_order=False), computed on device.
-    Returns host int64 arrays."""
+    Returns host int64 arrays; with ``device_out`` returns the
+    per-chunk DEVICE column lists unpacked (or None on the
+    pathological-run host-fallback guard)."""
     L = max(searchlength, 1)
     lcp_h = esa.lcptab
     n1 = int(lcp_h.size)
     lcp = jnp.asarray(lcp_h.astype(np.int32))
     R_cnt = int(_runs_count(lcp, n1, L))
     z = np.zeros(0, np.int64)
+    empty = ([], [], []) if device_out else (z, z, z)
     if R_cnt == 0:
-        return z, z, z
+        return empty
     MR = _nice(R_cnt)
     left_d, right_d = _runs_compact(lcp, n1, L, MR)
     left = np.asarray(left_d)[:R_cnt].astype(np.int64)
@@ -244,7 +293,18 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
     npairs = (m * (m - 1)) // 2
     total = int(npairs.sum())
     if total == 0:
-        return z, z, z
+        return empty
+
+    if int(npairs.max()) > _PAIR_CHUNK:
+        # a single run expanding past the chunk budget would overflow
+        # the int32 decode ranges (and the chunk buffers) — such
+        # pathological runs (> ~2900 equal suffixes at depth >= L)
+        # take the exact host path instead
+        if device_out:
+            return None
+        from .repeats import maximal_pairs_ref_order_vec
+
+        return maximal_pairs_ref_order_vec(esa, searchlength)
 
     levels = max(1, int(math.floor(math.log2(max(n1, 2)))) + 1)
     rmq = _rmq_build(lcp, n1, levels)
@@ -255,9 +315,10 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
     maxw = int(m.max())
     steps = min(levels,
                 max(1, int(np.ceil(np.log2(max(maxw + 1, 2)))) + 1))
-    pack20 = n1 <= (1 << 20)
-    d16 = (esa.maxbranchdepth or (1 << 30)) < (1 << 15) \
-        if esa.maxbranchdepth is not None else False
+    pack20 = n1 <= (1 << 20) and not device_out
+    d16 = ((esa.maxbranchdepth or (1 << 30)) < (1 << 15)
+           if esa.maxbranchdepth is not None else False) \
+        and not device_out
 
     # chunk on run boundaries, bounded expanded pair count
     cum = np.cumsum(npairs)
@@ -269,9 +330,9 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
             last = cum[i - 1]
     bounds.append(left.size)
 
-    # dispatch every chunk kernel up front; downloads then overlap the
-    # remaining device work
-    pend = []
+    # phase 1 for every chunk up front (async), then ONE batched sync
+    # of the surviving counts, then phase 2 at tight widths
+    p1 = []  # phase-1 chunk outputs
     for ci in range(len(bounds) - 1):
         a, b = bounds[ci], bounds[ci + 1]
         if a >= b:
@@ -291,26 +352,36 @@ def maximal_pairs_device(esa: ESA, searchlength: int,
         rpad[:rch.size] = rch
         cpad = np.full(R, INT32_INF, np.int32)
         cpad[:cum0.size] = cum0
-        out = _pairs_chunk(
-            rmq, log2tab, bwt, jnp.asarray(lpad), jnp.asarray(rpad),
-            jnp.asarray(cpad), T, R, n1, steps, sigma, ref_order,
-            pack20, d16)
-        pend.append(out)
+        ri_c, rj_c, cnt = _pairs_phase1(
+            bwt, jnp.asarray(lpad), jnp.asarray(rpad),
+            jnp.asarray(cpad), T, R, n1, sigma)
+        p1.append((ri_c, rj_c, cnt))
+    if not p1:
+        return empty
+    cnts = np.asarray(jnp.stack([c for _, _, c in p1]))
+
+    pend = []
+    for (ri_c, rj_c, cnt), cnt_i in zip(p1, cnts):
+        cnt_i = int(cnt_i)
+        if cnt_i == 0:
+            continue
+        C = _nice(cnt_i)
+        out = _pairs_phase2(
+            rmq, log2tab, bwt, ri_c[:C], rj_c[:C], cnt,
+            C, n1, steps, sigma, ref_order, pack20, d16)
+        pend.append((out, cnt_i))
+
+    if device_out:
+        d_parts = [dcol[:cnt] for (w1, w2, dcol), cnt in pend]
+        i_parts = [w1[:cnt] for (w1, w2, dcol), cnt in pend]
+        j_parts = [w2[:cnt] for (w1, w2, dcol), cnt in pend]
+        return d_parts, i_parts, j_parts
 
     out_d, out_i, out_j = [], [], []
-    for w1, w2, dcol, div, cnt_dev in pend:
-        cnt = int(cnt_dev)
-        if cnt == 0:
-            continue
-        if ref_order:
-            w1h = np.asarray(w1[:cnt])
-            w2h = np.asarray(w2[:cnt])
-            dh = np.asarray(dcol[:cnt])
-        else:
-            dv = np.asarray(div)
-            w1h = np.asarray(w1)[dv]
-            w2h = np.asarray(w2)[dv]
-            dh = np.asarray(dcol)[dv]
+    for (w1, w2, dcol), cnt in pend:
+        w1h = np.asarray(w1[:cnt])
+        w2h = np.asarray(w2[:cnt])
+        dh = np.asarray(dcol[:cnt])
         if pack20:
             u1 = w1h.view(np.uint32)
             ri = (u1 & 0xFFFFF).astype(np.int64)

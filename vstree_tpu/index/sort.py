@@ -464,6 +464,70 @@ def device_lce_pairs(text_dev, n: int, sigma: int, a_dev, b_dev,
         # harvested at the next compaction (or at the end)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "M2", "na", "nb", "bits", "D", "maxT"))
+def device_lce_pairs_nosync(Pa, Pb, a, b, init_l, active0,
+                            M: int, M2: int, na: int, nb: int,
+                            bits: int, D: int, maxT: int = 512):
+    """Sync-free twin of :func:`device_lce_pairs` for latency-bound
+    callers (one dispatch, no host round trips): two inline word
+    windows resolve the short majority, survivors are compacted
+    in-program to M2 slots and finished by a bounded multi-word
+    while_loop.  Returns (l, overflow) — overflow > 0 means more than
+    M2 lanes survived the inline phase (their results are stale) and
+    the caller must redo via the host-looped path."""
+    kmask = (1 << (D * bits)) - 1
+    sh = D * bits
+
+    def word(ia0, ib0):
+        pa = Pa[jnp.minimum(ia0, na - 1)]
+        pb = Pb[jnp.minimum(ib0, nb - 1)]
+        offa = jnp.where(ia0 < na, lax.shift_right_logical(pa, sh), 0)
+        offb = jnp.where(ib0 < nb, lax.shift_right_logical(pb, sh), 0)
+        x = (pa ^ pb) & kmask
+        msb = lax.population_count(_smear(x)) - 1
+        fd = jnp.where(x == 0, jnp.int32(D), D - 1 - msb // bits)
+        return jnp.minimum(fd, jnp.minimum(offa, offb))
+
+    l = init_l.astype(jnp.int32)
+    live = active0
+    for _ in range(2):
+        rem = word(a + l, b + l)
+        l = l + jnp.where(live, rem, 0)
+        live = live & (rem >= D)
+
+    n_live = jnp.sum(live.astype(jnp.int32))
+    dst = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dst = jnp.where(live & (dst < M2), dst, M2)
+    ah = jnp.zeros(M2, jnp.int32).at[dst].set(a, mode="drop")
+    bh = jnp.zeros(M2, jnp.int32).at[dst].set(b, mode="drop")
+    lh = jnp.zeros(M2, jnp.int32).at[dst].set(l, mode="drop")
+    ph = jnp.full(M2, M, jnp.int32).at[dst].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    liveh = jnp.zeros(M2, bool).at[dst].set(live, mode="drop")
+
+    def cond(st):
+        i, lv, _ = st
+        return (i < maxT) & jnp.any(lv)
+
+    def body(st):
+        i, lv, lc = st
+        adv = jnp.zeros(M2, jnp.int32)
+        done = ~lv
+        for _ in range(4):
+            rem = word(ah + lc + adv, bh + lc + adv)
+            adv = adv + jnp.where(done, 0, rem)
+            done = done | (rem < D)
+        return i + 1, lv & ~done, lc + jnp.where(lv, adv, 0)
+
+    _, _, lh = lax.while_loop(cond, body,
+                              (jnp.int32(0), liveh, lh))
+    l = l.at[jnp.where(ph < M, ph, M)].set(lh, mode="drop")
+    overflow = n_live - jnp.sum((dst < M2).astype(jnp.int32))
+    return l, overflow
+
+
 def device_suf_lcp(text_dev, n: int, sigma: int):
     """Suffix sort + adjacent-pair LCP, all on device.
 
