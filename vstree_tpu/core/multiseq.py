@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import gzip
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 
 import numpy as np
 
@@ -347,6 +347,13 @@ def read_multiseq(
     return ms
 
 
+
+def _clone_fields(ms: Multiseq) -> Multiseq:
+    """Fresh Multiseq carrying only the dataclass fields (instance
+    caches like the pos_to_pair lookup table are deliberately left
+    behind — they describe the ORIGINAL sequence)."""
+    return Multiseq(**{f.name: getattr(ms, f.name) for f in fields(Multiseq)})
+
 def reverse_complement_inplace(ms: Multiseq) -> Multiseq:
     """Per-sequence reverse complement of a DNA multiseq (reference
     copymultiseqRC, readmulti.c:94-123).  Wildcards stay WILDCARD."""
@@ -365,7 +372,7 @@ def reverse_complement_inplace(ms: Multiseq) -> Multiseq:
         out[s:e] = rc
         if orig is not None:
             orig[s:e] = rc_orig_map[ms.originalsequence[s:e][::-1]]
-    res = Multiseq(**{**ms.__dict__})
+    res = _clone_fields(ms)
     res.sequence = out
     res.originalsequence = orig
     return res
@@ -379,7 +386,7 @@ def complement_inplace(ms: Multiseq) -> Multiseq:
     orig_map = np.arange(256, dtype=np.uint8)
     for a, b in zip(b"AaCcGgTt", b"TtGgCcAa"):
         orig_map[a] = b
-    res = Multiseq(**{**ms.__dict__})
+    res = _clone_fields(ms)
     res.sequence = comp[ms.sequence]
     if ms.originalsequence is not None:
         res.originalsequence = orig_map[ms.originalsequence]
@@ -395,7 +402,7 @@ def reverse_inplace(ms: Multiseq) -> Multiseq:
         out[s:e] = ms.sequence[s:e][::-1]
         if orig is not None:
             orig[s:e] = ms.originalsequence[s:e][::-1]
-    res = Multiseq(**{**ms.__dict__})
+    res = _clone_fields(ms)
     res.sequence = out
     res.originalsequence = orig
     return res
