@@ -202,6 +202,33 @@ def _fmp_compact(state, res0, res1, M: int, M2: int):
 # ---------------------------------------------------------------------------
 
 
+_LSTART = 8   # truncated-descent start level: runs wider than
+#               2^(_LSTART+1)-1 escalate to the full-depth pass
+
+
+def _scan_left_in(table, idx, depth, levels: int, n1: int,
+                  top: int | None = None):
+    t = idx
+    for e in range(min(levels, top if top is not None else levels)
+                   - 1, -1, -1):
+        lo = t - (1 << e) + 1
+        mn = table[e, jnp.clip(lo, 0, n1 - 1)]
+        t = jnp.where((lo >= 0) & (mn >= depth), t - (1 << e), t)
+    return t
+
+
+def _scan_right_in(table, idx, depth, levels: int, n1: int,
+                   top: int | None = None):
+    t = idx
+    nmax = n1 - 1
+    for e in range(min(levels, top if top is not None else levels)
+                   - 1, -1, -1):
+        mn = table[e, jnp.clip(t + 1, 0, n1 - 1)]
+        t = jnp.where((t + (1 << e) <= nmax) & (mn >= depth),
+                      t + (1 << e), t)
+    return t
+
+
 def _scan_sparse(table, idx, dep, levels: int, n1: int, H: int,
                  right: bool):
     """Interval-boundary scan with a singleton fast path: lanes whose
@@ -335,35 +362,23 @@ def _gallop_right(table, idx, dep, levels: int, n1: int,
     return t, m, e
 
 
-def _scan_left_in(table, idx, depth, levels: int, n1: int):
-    t = idx
-    for e in range(levels - 1, -1, -1):
-        lo = t - (1 << e) + 1
-        mn = table[e, jnp.clip(lo, 0, n1 - 1)]
-        t = jnp.where((lo >= 0) & (mn >= depth), t - (1 << e), t)
-    return t
-
-
-def _scan_right_in(table, idx, depth, levels: int, n1: int):
-    t = idx
-    nmax = n1 - 1
-    for e in range(levels - 1, -1, -1):
-        mn = table[e, jnp.clip(t + 1, 0, n1 - 1)]
-        t = jnp.where((t + (1 << e) <= nmax) & (mn >= depth),
-                      t + (1 << e), t)
-    return t
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("nq", "n", "n1", "pl", "sigma", "levels", "R",
-                     "H"))
 def _qself_classify(qtext, suftab, stitab, s1, bck, table, L,
                     nq: int, n: int, n1: int, pl: int, sigma: int,
-                    levels: int, R: int, H: int):
+                    levels: int, R: int, H: int, SE: int):
     """Lane setup + fast-path matching statistics + canonical scans +
     fresh/shortcut/iso classification + replay-lane compaction, all in
-    one dispatch (db==query identical-text case)."""
+    one dispatch (db==query identical-text case).
+
+    The central shortcut: a lane whose query suffix has no special
+    before its sequence end AND whose depth-maxlen interval is a
+    singleton is SAFE — the reference's binary search can only have
+    returned the rank of the suffix itself (stitab[qpos]), because no
+    other db suffix attains the full-suffix match length.  Safe lanes
+    need no replay, anchor isomorphic chains directly, and (when their
+    L-run is also a singleton) emit analytically.  Only the unsafe
+    residue — special-capped or duplicated-suffix lanes — pays for
+    the fresh/iso state machine and the fused binary-search replay.
+    """
     from ..core.chardef import SEPARATOR, WILDCARD
 
     pos = jnp.arange(nq, dtype=jnp.int32)
@@ -405,6 +420,13 @@ def _qself_classify(qtext, suftab, stitab, s1, bck, table, L,
                                right=False)
     iright, bad1 = _scan_sparse(table, member, dep, levels, n1, H,
                                 right=True)
+    # unique-at-maxlen => the replay is predetermined: no other db
+    # suffix can attain the (special-capped) maximal match length
+    # maxlen vs this query suffix — any suffix matching maxlen regular
+    # chars lies in [ileft, iright], and lce vs the query cannot
+    # exceed maxlen past the query's special/end — so the reference's
+    # binary search can only return stitab[qpos]
+    safe = nonempty & (ileft == iright)
 
     def shift1(a, fill=0):
         return jnp.concatenate(
@@ -421,27 +443,68 @@ def _qself_classify(qtext, suftab, stitab, s1, bck, table, L,
     fresh = nonempty & ((prev_off <= pl) | capped | seq_start)
     shortcut = nonempty & ~fresh
     d1 = prev_off - 1
-    startl = jnp.minimum(
-        bl + s1[jnp.minimum(suftab[prev_left] + 1, n)].astype(
-            jnp.int32), n1 - 1)
-    startr = jnp.minimum(
-        bl + s1[jnp.minimum(suftab[prev_right] + 1, n)].astype(
-            jnp.int32), n1 - 1)
-    d1m = jnp.where(shortcut, d1, BIGDEP)
-    rankl, bad2 = _scan_sparse(table, startl, d1m, levels, n1, H,
-                               right=False)
-    rankr, bad3 = _scan_sparse(table, startr, d1m, levels, n1, H,
-                               right=True)
-    badscan = bad0 + bad1 + bad2 + bad3
-    iso = shortcut & (rankr - rankl == prev_right - prev_left)
+    # The reference's shortcut re-scan (matchsub.c: rank the
+    # successors of the previous interval's bounds via the sti1 byte,
+    # then scanleft/scanright at depth d1) reduces ALGEBRAICALLY to
+    # the current lane's own maxlen-interval: d1 = prev_off - 1 ==
+    # maxlen (the previous char is regular for every shortcut lane),
+    # every successor of a prev-interval member shares maxlen chars
+    # with the current suffix, so the d1-interval containing the
+    # successors IS [ileft, iright].  Byte saturation cannot break
+    # this: a saturated sti1 byte at the prev-RIGHT successor fires
+    # ``capped`` (-> fresh), and a saturated prev-LEFT successor
+    # implies bl+255 still lies inside [ileft, iright], landing the
+    # reference's scan on the same interval.  Hence:
+    #   rankl == ileft, rankr == iright,
+    # and the scans + sti1/suftab gathers vanish.
+    iso = shortcut & (iright - ileft == prev_right - prev_left)
     noniso = shortcut & ~iso
-    replay = fresh | noniso
+    # A non-iso replay starts at offset d1 == maxlen over
+    # [ileft, iright]: every probe stops immediately at the query's
+    # special/end with l == maxlen, so the fused binary search can
+    # never improve on its first probe — its witness is ileft,
+    # analytically.  Only capped/fresh lanes still replay.
+    replay = fresh & ~safe
+    wit0 = jnp.where(noniso & ~safe, ileft, member)
     proceed = nonempty & (maxlen >= L)
+    badscan = bad0 + bad1
+
+    # ---- L-run bounds of the member (== witness) rank + the
+    # singleton/non-singleton emission split ----
+    lcp0 = table[0]
+    idxs = jnp.arange(n1, dtype=jnp.int32)
+    small = lcp0 < L
+    runleft = lax.cummax(jnp.where(small, idxs, -1))
+    nxt = lax.associative_scan(
+        jnp.minimum, jnp.where(small, idxs, jnp.int32(n1)),
+        reverse=True)
+    nxt_sh = jnp.concatenate([nxt[1:], jnp.full(1, n1, jnp.int32)])
+    w = jnp.clip(member, 0, n1 - 1)
+    A = runleft[w]
+    B = jnp.minimum(nxt_sh[w] - 1, n1 - 1)
+    pp = proceed & (B > A)
+    cnt = jnp.where(pp, B - A + 1, 0)
+    offs = jnp.cumsum(cnt) - cnt
+    total_ns = offs[-1] + cnt[-1]
+    # singleton-run lanes: witness rank == member rank == stitab[qpos]
+    # (proven by the same uniqueness argument), so the single record is
+    # (qpos, maxlen, qpos) and the left-maximality filter reduces to
+    # "previous query char missing or special"
+    prevq = jnp.concatenate(
+        [jnp.full(1, jnp.int32(SEPARATOR)), qt[:-1]])
+    s_emit = proceed & (B == A) & (prevq >= WILDCARD)
+    n_sing = jnp.sum(s_emit.astype(jnp.int32))
+    sdst = jnp.cumsum(s_emit.astype(jnp.int32)) - 1
+    sdst = jnp.where(s_emit & (sdst < SE), sdst, SE)
+    sing_pos = jnp.full(SE, -1, jnp.int32).at[sdst].set(
+        pos, mode="drop")
+    sing_len = jnp.zeros(SE, jnp.int32).at[sdst].set(
+        maxlen, mode="drop")
 
     # compact replay lanes into R slots (overflow detected later)
-    rl = jnp.where(fresh, bl, rankl)
-    rr = jnp.where(fresh, br - 1, rankr)
-    o0 = jnp.where(fresh, jnp.int32(pl), d1)
+    rl = bl
+    rr = br - 1
+    o0 = jnp.full(nq, jnp.int32(pl), jnp.int32)
     nrep = jnp.sum(replay.astype(jnp.int32))
     dst = jnp.cumsum(replay.astype(jnp.int32)) - 1
     dst = jnp.where(replay & (dst < R), dst, R)
@@ -463,8 +526,9 @@ def _qself_classify(qtext, suftab, stitab, s1, bck, table, L,
         scat(pos, 0), scat(rem, 0),                      # qpos, qlen
         lane_idx,
     )
-    return (proceed, maxlen, member, iso, nonempty, bl, state, nrep,
-            badscan)
+    return (proceed, maxlen, wit0, iso, nonempty, safe, bl,
+            A, B, offs, total_ns, pp, sing_pos, sing_len, n_sing,
+            state, nrep, badscan)
 
 
 @functools.partial(
@@ -527,58 +591,72 @@ def _fmp_finish(text, P, suftab, state, wacc,
 
 
 @functools.partial(jax.jit, static_argnames=("nq", "n"))
-def _qself_witness(wacc, iso, nonempty, bl, suftab, stitab,
+def _qself_witness(wacc, iso, nonempty, safe, bl, suftab, stitab,
                    nq: int, n: int):
     """Isomorphic-chain closed form over the harvested witnesses
-    (w_{a+k} = inv[suftab[w_a] + k]) + saturation-failure count."""
+    (w_{a+k} = inv[suftab[w_a] + k]) + saturation-failure count.
+
+    Safe lanes keep their predetermined witness (wacc holds the member
+    rank there) and serve as chain anchors: anchoring at ANY lane with
+    a correct witness between the reference's own anchor and the
+    target lane yields the identical closed-form value
+    (suftab[w] telescopes along the chain)."""
     witness = wacc
     pos = jnp.arange(nq, dtype=jnp.int32)
-    anchor_ok = (~iso) & nonempty
+    anchor_ok = (safe | ~iso) & nonempty
     last_anchor = lax.cummax(jnp.where(anchor_ok, pos, -1))
     a = jnp.maximum(last_anchor, 0)
     dist = pos - a
     wsrc = witness[a]
     raw = stitab[jnp.minimum(suftab[wsrc] + dist, n)]
-    witness = jnp.where(iso, raw, witness)
-    capfail = iso & (raw - bl >= 255)
+    use = iso & ~safe
+    witness = jnp.where(use, raw, witness)
+    capfail = use & (raw - bl >= 255)
     ncap = jnp.sum(capfail.astype(jnp.int32))
     return witness, ncap
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "nq"))
-def _qself_bounds(lcp, witness, proceed, L, n1: int, nq: int):
-    """Run bounds at the FIXED threshold L: prev/next-smaller-value
-    arrays from two elementwise scans over the lcp row + one gather
-    per witness — no per-level descents."""
-    idxs = jnp.arange(n1, dtype=jnp.int32)
-    small = lcp < L
-    runleft = lax.cummax(jnp.where(small, idxs, -1))
-    nxt = lax.associative_scan(
-        jnp.minimum, jnp.where(small, idxs, jnp.int32(n1)),
-        reverse=True)
-    nxt_sh = jnp.concatenate([nxt[1:], jnp.full(1, n1, jnp.int32)])
-    w = jnp.clip(witness, 0, n1 - 1)
-    A = runleft[w]
-    B = jnp.minimum(nxt_sh[w] - 1, n1 - 1)
-    cnt = jnp.where(proceed, B - A + 1, 0)
-    offs = jnp.cumsum(cnt) - cnt
-    total = offs[-1] + cnt[-1]
-    return A, B, offs, total
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq", "n", "n1", "pl", "sigma", "levels", "R",
+                     "R2", "H", "SE"))
+def _qself_presync(qtext, suftab, stitab, s1, bck, table, P, L,
+                   nq: int, n: int, n1: int, pl: int, sigma: int,
+                   levels: int, R: int, R2: int, H: int, SE: int):
+    """Classify + replay + witness as ONE dispatch (the per-dispatch
+    round trip through the device link is material; everything up to
+    the first host sync fuses)."""
+    (proceed, maxlen, wit0, iso, nonempty, safe, bl,
+     A, B, offs, total_ns, pp, sing_pos, sing_len, n_sing,
+     state, nrep, badscan) = _qself_classify(
+        qtext, suftab, stitab, s1, bck, table, L,
+        nq, n, n1, pl, sigma, levels, R, H, SE)
+    bits, D = lce_pack_params(sigma)
+    state, wacc, nlive = _fmp_stage1(
+        qtext, P, suftab, state, wit0, 12, 1, R2, n, nq, bits, D)
+    wacc, nunf = _fmp_finish(
+        qtext, P, suftab, state, wacc, 4096, 4, n, nq, bits, D)
+    witness, ncap = _qself_witness(
+        wacc, iso, nonempty, safe, bl, suftab, stitab, nq, n)
+    chk = jnp.stack([total_ns, nrep, ncap, nunf, nlive, badscan,
+                     n_sing])
+    return (proceed, maxlen, witness, A, B, offs, total_ns, pp,
+            sing_pos, sing_len, chk)
 
 
 @functools.partial(
     jax.jit, static_argnames=("E", "nq", "n", "n1"))
 def _qself_expand(text, suftab, qtext, table, log2tab, A, B, offs,
-                  witness, maxlen, proceed,
+                  witness, maxlen, pp, total,
                   E: int, nq: int, n: int, n1: int):
-    """Masked full-width variant of _mem_expand: groups are query
-    positions with proceed set; left-maximality prefilter runs BEFORE
-    the RMQ so only surviving records pay the range-min gathers."""
+    """Masked full-width variant of _mem_expand restricted to the
+    NON-SINGLETON runs (``pp``; singleton lanes emit analytically):
+    the left-maximality prefilter runs BEFORE the RMQ so only
+    surviving records pay the range-min gathers."""
     from ..core.chardef import WILDCARD as _W
 
-    total = offs[-1] + jnp.where(proceed[-1], B[-1] - A[-1] + 1, 0)
     gseed = jnp.zeros(E, jnp.int32).at[
-        jnp.where(proceed, jnp.minimum(offs, E), E)].max(
+        jnp.where(pp, jnp.minimum(offs, E), E)].max(
         jnp.arange(nq, dtype=jnp.int32), mode="drop")
     g = lax.associative_scan(jnp.maximum, gseed)
     slot = jnp.arange(E, dtype=jnp.int32)
@@ -638,8 +716,14 @@ def _sti1_dev(esa):
 def find_query_mems_self_device(esa, query, L: int):
     """db-vs-itself -q MEM matching (qspeedup 2) as a chained-async
     device pipeline; returns (dbpos, length, qpos) host arrays in
-    reference emission order, or None when a static budget overflowed
-    (caller falls back to the general path)."""
+    reference emission order, or None when every static-budget ladder
+    step overflowed (caller falls back to the general path).
+
+    Two host syncs per attempt: budget flags + non-singleton record
+    count, then the compacted record download.  The common case runs
+    at the SMALL ladder step: safe lanes (see _qself_classify) leave
+    only a residue of replay lanes and hard scan lanes, so R/H start
+    at a few thousand and escalate only on overflow."""
     from .query import _dev_lcp_rmq
 
     qtext = query.sequence
@@ -661,40 +745,56 @@ def find_query_mems_self_device(esa, query, L: int):
                      ).astype(np.int32))
     log2tab = cache["log2tab"]
 
-    R = _nice_size(max(4096, nq // 12))
-    R2 = _nice_size(max(1024, R // 4))
-    H = _nice_size(max(4096, nq // 2))
+    n_special = int(np.count_nonzero(qtext >= 250))
+    SE = _nice_size(n_special + 16)
+    ladder = [
+        (_nice_size(max(4096, nq // 2)),
+         _nice_size(max(4096, nq // 24))),
+        (_nice_size(max(4096, nq // 2)),
+         _nice_size(max(16384, nq // 6))),
+    ]
     Ld = jnp.int32(L)
-    (proceed, maxlen, member, iso, nonempty, bl, state, nrep,
-     badscan) = _qself_classify(
-        text_dev, suftab, stitab, s1, bck, table, Ld,
-        nq, n, n1, pl, sigma, levels, R, H)
-    state, wacc, nlive = _fmp_stage1(
-        text_dev, P, suftab, state, member, 12, 1, R2, n, nq, bits,
-        D)
-    wacc, nunf = _fmp_finish(
-        text_dev, P, suftab, state, wacc, 4096, 4, n, nq, bits, D)
-    witness, ncap = _qself_witness(
-        wacc, iso, nonempty, bl, suftab, stitab, nq, n)
-    A, B, offs, total = _qself_bounds(
-        table[0], witness, proceed, Ld, n1, nq)
-    # ---- sync 1: budget checks + expansion size ----
-    chk = np.asarray(jnp.stack(
-        [total, nrep, ncap, nunf, nlive, badscan]))
-    (total_i, nrep_i, ncap_i, nunf_i, nlive_i,
-     badscan_i) = (int(x) for x in chk)
-    if (nrep_i > R or ncap_i > 0 or nunf_i > 0 or nlive_i > R2
-            or badscan_i > 0):
-        return None
-    E = _nice_size(max(1, total_i))
-    c_pos, c_len, c_g, kept = _qself_expand(
-        text_dev, suftab, text_dev, table, log2tab, A, B, offs,
-        witness, maxlen, proceed, E, nq, n, n1)
-    # ---- sync 2: record download ----
-    kept_i = int(kept)
-    return (np.asarray(c_pos[:kept_i]).astype(np.int64),
-            np.asarray(c_len[:kept_i]).astype(np.int64),
-            np.asarray(c_g[:kept_i]).astype(np.int64))
+    for H, R in ladder:
+        R2 = _nice_size(max(1024, R // 4))
+        (proceed, maxlen, witness, A, B, offs, total_ns, pp,
+         sing_pos, sing_len, chk_d) = _qself_presync(
+            text_dev, suftab, stitab, s1, bck, table, P, Ld,
+            nq, n, n1, pl, sigma, levels, R, R2, H, SE)
+        # ---- sync 1: budget checks + expansion size ----
+        chk = np.asarray(chk_d)
+        (total_i, nrep_i, ncap_i, nunf_i, nlive_i, badscan_i,
+         nsing_i) = (int(x) for x in chk)
+        if ncap_i > 0 or nunf_i > 0:
+            return None        # escalation cannot help these
+        if nrep_i > R or nlive_i > R2 or badscan_i > 0:
+            continue           # escalate the ladder
+        E = _nice_size(max(1, total_i))
+        c_pos, c_len, c_g, kept = _qself_expand(
+            text_dev, suftab, text_dev, table, log2tab, A, B, offs,
+            witness, maxlen, pp, total_ns, E, nq, n, n1)
+        # ---- sync 2: surviving-record count; sync 3: one compacted
+        # download of records + singleton emissions (the E-wide
+        # buffers never cross the link) ----
+        kept_i = int(kept)
+        host = np.asarray(jnp.concatenate(
+            [c_pos[:kept_i], c_len[:kept_i], c_g[:kept_i],
+             sing_pos[:nsing_i], sing_len[:nsing_i]]))
+        ns_pos = host[:kept_i].astype(np.int64)
+        ns_len = host[kept_i:2 * kept_i].astype(np.int64)
+        ns_g = host[2 * kept_i:3 * kept_i].astype(np.int64)
+        sp = host[3 * kept_i: 3 * kept_i + nsing_i].astype(np.int64)
+        sl = host[3 * kept_i + nsing_i:].astype(np.int64)
+        if nsing_i == 0:
+            return ns_pos, ns_len, ns_g
+        # merge the two streams by query position (stable: a lane is
+        # singleton XOR non-singleton, per-lane record order is the
+        # device order)
+        g_all = np.concatenate([ns_g, sp])
+        order = np.argsort(g_all, kind="stable")
+        pos_all = np.concatenate([ns_pos, sp])[order]
+        len_all = np.concatenate([ns_len, sl])[order]
+        return pos_all, len_all, g_all[order]
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("L", "levels", "n1"))
