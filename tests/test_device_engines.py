@@ -253,3 +253,45 @@ def test_pallas_myers_verify_matches_jnp(rng):
         for x, y, name in zip(a, b, ("minsc", "bestlen", "bestsc")):
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"{trial}:{name}")
+
+
+def test_edit_extend_self_device_vs_host(rng):
+    """Fused seeds->extension (edit_extend_self_device: unordered
+    device pair enumeration + survivor-only emission sort) vs the
+    two-step host path: full output equality including order."""
+    import os
+
+    from vstree_tpu.engine.gextend import (
+        Seqs,
+        edit_extend_seeds,
+        edit_extend_self_device,
+    )
+    from vstree_tpu.engine.repeats import find_maximal_pairs_ref
+    from vstree_tpu.stats.evalues import Evalues
+
+    for trial in range(3):
+        n = int(rng.integers(3000, 8000))
+        text = random_dna_text(rng, n, n_wild=5, n_sep=2)
+        blk = text[100:100 + n // 4].copy()
+        text[n // 2:n // 2 + blk.size] = blk
+        esa = build_esa(_ms_of(text), dna_alphabet(),
+                        demand=("suf", "lcp", "bwt", "bck", "sti"))
+        ev = Evalues(0.25)
+        sq = Seqs(text, text)
+        os.environ["VSTREE_DEVICE_ENGINES"] = "1"
+        try:
+            dev = edit_extend_self_device(esa, sq, ev, 2, 30, 10)
+        finally:
+            del os.environ["VSTREE_DEVICE_ENGINES"]
+        seeds = find_maximal_pairs_ref(esa, 10)
+        host = edit_extend_seeds(Seqs(text, text), ev, seeds, 2, 30,
+                                 10, querycompare=False,
+                                 selfmode=True)
+        if dev is None:
+            continue
+        assert len(dev.position1) == len(host.position1), trial
+        for f in ("position1", "length1", "position2", "length2",
+                  "distance"):
+            np.testing.assert_array_equal(
+                getattr(dev, f), getattr(host, f),
+                err_msg=f"{trial}:{f}")

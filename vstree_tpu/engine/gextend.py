@@ -589,12 +589,16 @@ def edit_extend_self_device(esa, sq: Seqs, ev: Evalues,
 
     if not _use_device_engines():
         return None
-    from .repeats_dev import maximal_pairs_device_positions
+    from .repeats_dev import (
+        _emission_order,
+        _nice,
+        maximal_pairs_device_seeds,
+    )
 
-    got = maximal_pairs_device_positions(esa, seedlength)
+    got = maximal_pairs_device_seeds(esa, seedlength)
     if got is None:
         return None
-    (p1_d, p2_d, d_d), total = got
+    (p1_d, p2_d, d_d, ri_d, rj_d), total = got
     if total == 0:
         return MatchTable()
     from .gextend_dev import edit_fronts_viable
@@ -603,13 +607,45 @@ def edit_extend_self_device(esa, sq: Seqs, ev: Evalues,
         sq, p1_d, p2_d, d_d, maxdist, leastlength, seedlength)
     if vidx.size == 0:
         return MatchTable()
+    import math as _math
+
     import jax.numpy as jnp
 
+    # reference emission order, restored on the survivors only (the
+    # full enumeration is never sorted)
     sel = jnp.asarray(vidx.astype(np.int32))
-    cols = np.asarray(jnp.stack([p1_d[sel], p2_d[sel], d_d[sel]]))
-    pos1 = cols[0].astype(np.int64)
-    pos2 = cols[1].astype(np.int64)
-    slen = cols[2].astype(np.int64)
+    C = _nice(int(vidx.size))
+    pad = jnp.full(C - vidx.size, 0, jnp.int32)
+    riv = jnp.concatenate([ri_d[sel], pad])
+    rjv = jnp.concatenate([rj_d[sel], pad])
+    ddv = jnp.concatenate(
+        [d_d[sel], jnp.full(C - vidx.size, -1, jnp.int32)])
+    n1 = int(esa.lcptab.size)
+    levels = max(1, int(_math.floor(_math.log2(max(n1, 2)))) + 1)
+    from .repeats_dev import _rmq_build
+
+    rmq = esa._device_cache.get("rep_rmq")
+    if rmq is None:
+        rmq = _rmq_build(jnp.asarray(esa.lcptab.astype(np.int32)),
+                         n1, levels)
+        esa._device_cache["rep_rmq"] = rmq
+    bwt = jnp.asarray(esa.bwttab)
+    ordv = _emission_order(rmq, bwt, riv, rjv,
+                           jnp.where(ddv < 0, jnp.int32(0), ddv),
+                           C, n1, levels, esa.alpha.num_regular)
+    # padded lanes carry d=0 -> huge negd, they sort last among...
+    # safer: order only the first vidx.size entries explicitly
+    cols = np.asarray(jnp.stack(
+        [p1_d[sel], p2_d[sel], d_d[sel]]))
+    order_h = np.asarray(ordv)
+    order_h = order_h[order_h < vidx.size][:vidx.size]
+    pos1 = cols[0][order_h].astype(np.int64)
+    pos2 = cols[1][order_h].astype(np.int64)
+    slen = cols[2][order_h].astype(np.int64)
+    lf = lf[order_h]
+    hl = hl[order_h]
+    rf = rf[order_h]
+    hr = hr[order_h]
     seeds_v = _pairs_to_matchtable(esa, pos1, pos2, slen)
     return _extend_combine(
         sq, ev, seeds_v, lf, hl, rf, hr, pos1, pos2, slen,

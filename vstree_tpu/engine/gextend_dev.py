@@ -185,19 +185,60 @@ def _level_post(tv, kk, act, same_ptr, run, fronts, h, finished,
     return fronts, h, finished, foundseed
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "maxdist", "forward", "use_reach",
+                     "selfsame", "n1", "n2", "bits", "Dw", "M2"))
+def _fronts_dir_fused(Pa, Pb, bound_u, bound_v, base1, base2,
+                      ulen, vlen, reach,
+                      S: int, maxdist: int, forward: bool,
+                      use_reach: bool, selfsame: bool,
+                      n1: int, n2: int, bits: int, Dw: int, M2: int):
+    """The WHOLE level loop of one direction as one dispatch: per
+    level, candidate values + fused no-sync LCE slides + front/h
+    bookkeeping.  Returns (fronts, h, summed overflow)."""
+    from ..index.sort import device_lce_pairs_nosync
+
+    D = 2 * maxdist + 1
+    M = S * D
+    fronts = jnp.full((S, maxdist + 1, D), NEG32, jnp.int32)
+    fronts = fronts.at[:, 0, maxdist].set(0)
+    h = jnp.full(S, maxdist, jnp.int32)
+    empty = (ulen == 0) & (vlen == 0)
+    h = jnp.where(empty, 0, h)
+    finished = empty
+    foundseed = jnp.zeros(S, bool)
+    oflow = jnp.int32(0)
+    for p in range(1, maxdist + 1):
+        prev = fronts[:, p - 1, :]
+        tv, kk, act, same_ptr, ar, br, probe = _level_pre(
+            prev, base1, base2, ulen, vlen, finished,
+            S, maxdist, forward, selfsame, n1, n2, p)
+        run, of = device_lce_pairs_nosync(
+            Pa, Pb, ar.astype(jnp.int32), br.astype(jnp.int32),
+            jnp.zeros(M, jnp.int32), probe, M, M2, n1, n2,
+            bits, Dw)
+        # slides on non-probe lanes must read 0 (host parity)
+        run = jnp.where(probe, run, 0)
+        oflow = oflow + of
+        fronts, h, finished, foundseed = _level_post(
+            tv, kk, act, same_ptr, run, fronts, h, finished,
+            foundseed, ulen, vlen, bound_u, bound_v,
+            reach, S, maxdist, forward, use_reach, p)
+    return fronts, h, oflow
+
+
 def _fronts_direction(sq, tabs, base1, base2, ulen, vlen,
                       maxdist: int, forward: bool, reach: int,
                       nosync: bool = True):
     """Host driver for one direction: level loop with the compacted
     two-text LCE ladder doing the slides.
 
-    ``nosync`` runs each level's slides as one fused dispatch
-    (index/sort.py device_lce_pairs_nosync) and returns the summed
-    overflow flag as a third result; the caller re-runs with
-    nosync=False when it is nonzero (rare: more than M/8 lanes slid
-    past 26 chars)."""
-    from ..index.sort import device_lce_pairs_nosync
-
+    ``nosync`` runs the whole direction as ONE fused dispatch
+    (:func:`_fronts_dir_fused`, slides via index/sort.py
+    device_lce_pairs_nosync) and returns the summed overflow flag as
+    a third result; the caller re-runs with nosync=False when it is
+    nonzero (rare: more than M2 lanes slid past 26 chars)."""
     S = int(base1.shape[0])
     D = 2 * maxdist + 1
     n1, n2 = sq.n1, sq.n2
@@ -213,6 +254,13 @@ def _fronts_direction(sq, tabs, base1, base2, ulen, vlen,
         vlen,
         _sep_right(tabs["x2"], base2, n2) if forward
         else _sep_left(tabs["p2"], base2 + 1, n2))
+    selfsame = sq.s2 is sq.s1
+    M = S * D
+    if nosync:
+        return _fronts_dir_fused(
+            Pa, Pb, bound_u, bound_v, base1, base2, ulen, vlen,
+            jnp.int32(max(reach, 0)), S, maxdist, forward, reach > 0,
+            selfsame, n1, n2, bits, Dw, max(1024, M // 32))
     fronts = jnp.full((S, maxdist + 1, D), NEG32, jnp.int32)
     fronts = fronts.at[:, 0, maxdist].set(0)
     h = jnp.full(S, maxdist, jnp.int32)
@@ -220,27 +268,15 @@ def _fronts_direction(sq, tabs, base1, base2, ulen, vlen,
     h = jnp.where(empty, 0, h)
     finished = empty
     foundseed = jnp.zeros(S, bool)
-    selfsame = sq.s2 is sq.s1
     oflow = jnp.int32(0)
-    M = S * D
-    M2 = max(1024, M // 8)
     for p in range(1, maxdist + 1):
         prev = fronts[:, p - 1, :]
         tv, kk, act, same_ptr, ar, br, probe = _level_pre(
             prev, base1, base2, ulen, vlen, finished,
             S, maxdist, forward, selfsame, n1, n2, p)
-        if nosync:
-            run, of = device_lce_pairs_nosync(
-                Pa, Pb, ar.astype(jnp.int32), br.astype(jnp.int32),
-                jnp.zeros(M, jnp.int32), probe, M, M2, n1, n2,
-                bits, Dw)
-            # slides on non-probe lanes must read 0 (host parity)
-            run = jnp.where(probe, run, 0)
-            oflow = oflow + of
-        else:
-            run = device_lce_pairs(
-                None, n1, sigma, ar, br, M,
-                tables=Pa, tables_b=Pb, nb=n2, active0=probe)
+        run = device_lce_pairs(
+            None, n1, sigma, ar, br, M,
+            tables=Pa, tables_b=Pb, nb=n2, active0=probe)
         fronts, h, finished, foundseed = _level_post(
             tv, kk, act, same_ptr, run, fronts, h, finished,
             foundseed, ulen, vlen, bound_u, bound_v,

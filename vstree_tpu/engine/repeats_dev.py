@@ -241,6 +241,60 @@ def _pairs_phase2(rmq, log2tab, bwt, ri, rj, cnt,
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(
+    jax.jit, static_argnames=("C", "n1", "steps", "sigma"))
+def _emission_order(rmq, bwt, ri, rj, d, C: int, n1: int,
+                    steps: int, sigma: int):
+    """Reference emission-order permutation of C (ri, rj, d) pairs
+    (the _pairs_phase2 key logic, applied post-hoc to a small
+    survivor subset instead of the full enumeration)."""
+    t_ev = rj
+    for e in range(steps - 1, -1, -1):
+        probe = rmq[e, jnp.clip(t_ev + 1, 0, n1 - 1)]
+        t_ev = jnp.where((probe > d) & (t_ev + (1 << e) < n1),
+                         t_ev + (1 << e), t_ev)
+    bi = bwt[ri].astype(jnp.int32)
+    bj = bwt[rj].astype(jnp.int32)
+    keyi = jnp.where(bi < sigma, bi, 256 + ri)
+    keyj = jnp.where(bj < sigma, bj, 256 + rj)
+    clsi = jnp.minimum(keyi, sigma)
+    clsj = jnp.minimum(keyj, sigma)
+    F = clsi
+    Sc = clsj
+    swap = (F < sigma) & (Sc == sigma)
+    X = jnp.where(swap, rj, ri)
+    Y = jnp.where(swap, ri, rj)
+    A = jnp.where(F == sigma, X, Sc)
+    Bk = jnp.where(F == sigma, Sc, X)
+    negd = jnp.int32(2**30) - d
+    return jnp.lexsort((Y, Bk, A, F, negd, t_ev))
+
+
+def maximal_pairs_device_seeds(esa: ESA, searchlength: int):
+    """Unordered fused-seed variant: (pos_min, pos_max, depth, ri, rj)
+    DEVICE arrays without the full-width emission sort — the caller
+    restores reference order on its (small) survivor subset via
+    :func:`_emission_order`.  Distinct pairs always have distinct
+    emission keys, and event times are globally comparable, so
+    sorting any subset post-hoc reproduces the enumeration order.
+    Returns None on the pathological-run guard."""
+    got = maximal_pairs_device(esa, searchlength, ref_order=False,
+                               device_out=True)
+    if got is None:
+        return None
+    d_parts, i_parts, j_parts = got
+    if not i_parts:
+        return (jnp.zeros(0, jnp.int32),) * 5, 0
+    ri = jnp.concatenate(i_parts)
+    rj = jnp.concatenate(j_parts)
+    dd = jnp.concatenate(d_parts)
+    suftab = esa.device("suftab")
+    p1 = suftab[ri]
+    p2 = suftab[rj]
+    return ((jnp.minimum(p1, p2), jnp.maximum(p1, p2), dd, ri, rj),
+            int(ri.shape[0]))
+
+
 def maximal_pairs_device_positions(esa: ESA, searchlength: int):
     """Fused-seed variant: all maximal pairs in reference emission
     order as DEVICE arrays (pos_min, pos_max, depth) — int32, tight
