@@ -132,10 +132,12 @@ def test_mkrcidx_cpl(setup, tmp_path):
 def test_vplugin_vmotif_demo(setup):
     """The vplugin protocol analog: the demo motif plugin takes over
     -complete and emits through the standard funnel."""
-    r = run_ours(
+    # -selfun with an unloadable path must fail cleanly even when a
+    # vplugin takes over the search
+    r_bad = run_ours(
         ["-complete", "/root/repo/vstree_tpu/plugins/vmotif-demo.py",
          "-selfun", "/dev/null", str(setup / "ours")], str(setup))
-    # -selfun /dev/null would fail to load; use plugin args instead
+    assert r_bad.returncode != 0
     r = run_ours(
         ["-complete", "/root/repo/vstree_tpu/plugins/vmotif-demo.py",
          str(setup / "ours")], str(setup))

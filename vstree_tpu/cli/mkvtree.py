@@ -104,6 +104,9 @@ def parse_args(argv: list[str]) -> dict:
 
 
 def run(argv: list[str]) -> int:
+    from ..core.envconf import configure_compile_cache
+
+    configure_compile_cache()
     opts = parse_args(argv)
     files = opts["db"] + opts["q"]
 

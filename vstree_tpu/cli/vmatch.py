@@ -406,6 +406,17 @@ def parse_args(argv: list[str]) -> dict:
         raise SystemExit(f"vmatch: illegal option {a}")
     if opts["index"] is None:
         raise SystemExit("vmatch: the last argument must be the index name")
+    if opts["removeredundant"]:
+        # parse-time constraints on -complete remred
+        # (parsevm.c:1433-1454)
+        if not opts["online"]:
+            raise SystemExit(
+                'vmatch: argument "remred" of option -complete '
+                "requires option -online")
+        if opts["e"] is None and opts["h"] is None:
+            raise SystemExit(
+                'vmatch: argument "remred" of option -complete '
+                "requires options -e or -h")
     return opts
 
 
@@ -456,6 +467,9 @@ def _is_number(s: str) -> bool:
 
 def run(argv: list[str], out=None) -> int:
     out = out or sys.stdout
+    from ..core.envconf import configure_compile_cache
+
+    configure_compile_cache()
     opts = parse_args(argv)
     # queryspeedup: option, overridden by env QUERYSPEEDUP
     # (parsevm.c:1126-1137,1642); algorithms 0, 2 (the default) and 5

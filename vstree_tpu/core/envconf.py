@@ -35,3 +35,24 @@ def scan_paths_for_file(envvar: str, filename: str) -> str:
                 return cand
     raise SystemExit(
         f'cannot find file "{filename}" (also searched ${envvar})')
+
+
+def configure_compile_cache() -> None:
+    """Point JAX at the persistent XLA compile cache so CLI runs
+    reuse compilations across processes (pairs with
+    ``python -m vstree_tpu.prewarm``; VSTREE_COMPILE_CACHE overrides
+    the default ``~/.cache/vstree_tpu/xla``, "off" disables)."""
+    cache = os.environ.get(
+        "VSTREE_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/vstree_tpu/xla"))
+    if cache == "off":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -223,6 +223,14 @@ def device_suffix_sort(text_dev, n: int, sigma: int,
     sa0, rank, rank_by_slot, active = _initial_phase(
         text_dev, n, sigma, bits, D)
     snaps = []
+    # snapshot count is HBM-bounded: each snapshot pins a full [n]
+    # int32 array, so repetitive corpora (max-lcp ~ n) would otherwise
+    # pin ~log2(n/D) of them (>12 GB at 200 Mbp).  The budget keeps
+    # the SMALL-k certificates (binary representability of the
+    # descent needs every level below the largest kept); LCEs deeper
+    # than the kept ladder are finished exactly by the windowed
+    # ladder (lce_with_snapshots' completion pass).
+    snap_cap = max(4, int(2e9 // (4 * max(n, 1))))
     if collect_snapshots:
         snaps.append((D, rank + 0))
     cnt = int(jnp.sum(active.astype(jnp.int32)))
@@ -240,7 +248,7 @@ def device_suffix_sort(text_dev, n: int, sigma: int,
             rank, slots, p, r1, jnp.int32(k), M, n)
         cnt = int(cnt_dev)
         k *= 2
-        if collect_snapshots and cnt > 0:
+        if collect_snapshots and cnt > 0 and len(snaps) < snap_cap:
             snaps.append((k, rank + 0))
         if cnt == 0:
             sa = _sa_from_rank(rank, n)
@@ -301,12 +309,31 @@ def _lce_descent(ranks, P, a, b, n: int, bits: int, D: int,
 
 
 def lce_with_snapshots(snaps, P, a_dev, b_dev, n: int, sigma: int):
-    """Vectorized lce over suffix pairs using sort snapshots."""
+    """Vectorized lce over suffix pairs using sort snapshots.
+
+    The descent resolves any lce representable by the kept
+    certificate ladder; pairs still word-equal at the descended depth
+    (possible when the snapshot list was HBM-capped) are finished
+    EXACTLY by the windowed ladder, each paying only its own tail."""
     bits, D = lce_pack_params(sigma)
     ks = tuple(k for k, _ in snaps)
     ranks = [r for _, r in snaps]
-    return _lce_descent(ranks, P, a_dev.astype(jnp.int32),
-                        b_dev.astype(jnp.int32), n, bits, D, ks)
+    a = a_dev.astype(jnp.int32)
+    b = b_dev.astype(jnp.int32)
+    l = _lce_descent(ranks, P, a, b, n, bits, D, ks)
+    # completion pass: a lane is unresolved iff the packed words at
+    # the descended depth still fully match
+    kmask = (1 << (D * bits)) - 1
+    ia = a + l
+    ib = b + l
+    pa = P[jnp.minimum(ia, n - 1)]
+    pb = P[jnp.minimum(ib, n - 1)]
+    offa = jnp.where(ia < n, lax.shift_right_logical(pa, D * bits), 0)
+    offb = jnp.where(ib < n, lax.shift_right_logical(pb, D * bits), 0)
+    x = (pa ^ pb) & kmask
+    unresolved = (x == 0) & (offa >= D) & (offb >= D)
+    return device_lce_pairs(None, n, sigma, a, b, int(a.shape[0]),
+                            tables=P, init_l=l, active0=unresolved)
 
 
 # ---------------------------------------------------------------------------
