@@ -406,18 +406,39 @@ def parse_args(argv: list[str]) -> dict:
         raise SystemExit(f"vmatch: illegal option {a}")
     if opts["index"] is None:
         raise SystemExit("vmatch: the last argument must be the index name")
-    if opts["removeredundant"]:
-        # parse-time constraints on -complete remred
-        # (parsevm.c:1433-1454)
-        if not opts["online"]:
-            raise SystemExit(
-                'vmatch: argument "remred" of option -complete '
-                "requires option -online")
-        if opts["e"] is None and opts["h"] is None:
-            raise SystemExit(
-                'vmatch: argument "remred" of option -complete '
-                "requires options -e or -h")
+    _parse_constraints(opts)
     return opts
+
+
+def _parse_constraints(opts) -> None:
+    """Declarative parse-time constraints via the shared combinator
+    table (core/optdesc.py — the reference's OPTIONEXCLUDE/IMPLY
+    discipline, procopt.c:505-583).  Constraints the reference
+    enforces DEEPER than parse (after the header print, or inside the
+    engines) stay at their original sites so message order matches;
+    new rules should land here."""
+    from ..core.optdesc import Constraints
+
+    c = Constraints("vmatch")
+    # -complete remred (parsevm.c:1433-1454); "complete" is mapped to
+    # the remred argument below so the message names -complete
+    c.imply("complete", "online", argument="remred")
+    if opts["removeredundant"] and opts["online"] \
+            and opts["e"] is None and opts["h"] is None:
+        raise SystemExit(
+            'vmatch: argument "remred" of option -complete '
+            "requires options -e or -h")
+
+    def isset(name):
+        if name == "complete":
+            return bool(opts["removeredundant"])
+        v = opts.get(name)
+        if v is None or isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, (list, str)):
+            return bool(v)
+        return True    # numeric option present
+    c.check(isset)
 
 
 _KEEPFLAGS = (
