@@ -47,9 +47,23 @@ def configure_compile_cache() -> None:
         os.path.expanduser("~/.cache/vstree_tpu/xla"))
     if cache == "off":
         return
+    # cache loads can emit C++-side glog chatter (e.g. the AOT
+    # cpu-feature advisory) on stderr, which must stay byte-clean for
+    # the reference-parity contract of the CLIs
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
+        import hashlib
+
         import jax
 
+        # segregate entries per (platform, XLA_FLAGS): AOT artifacts
+        # compiled under one backend configuration trip cpu-feature
+        # advisories (stderr noise) when loaded under another
+        tag = "%s-%s" % (
+            jax.default_backend(),
+            hashlib.sha1(os.environ.get("XLA_FLAGS", "")
+                         .encode()).hexdigest()[:8])
+        cache = os.path.join(cache, tag)
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update(

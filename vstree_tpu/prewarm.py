@@ -26,15 +26,15 @@ import time
 
 def prewarm(bp: int = 16_000_000, cache_dir: str | None = None,
             verbose: bool = True) -> None:
+    if cache_dir is not None:
+        os.environ["VSTREE_COMPILE_CACHE"] = cache_dir
+    from .core.envconf import configure_compile_cache
+
+    # same per-(platform, XLA_FLAGS) segregated layout the CLIs read
+    configure_compile_cache()
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "VSTREE_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/vstree_tpu/xla"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                      1.0)
+    cache_dir = jax.config.jax_compilation_cache_dir
 
     import numpy as np
 
